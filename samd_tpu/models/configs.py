@@ -1,0 +1,96 @@
+"""Model architecture configs.
+
+Only the fields the decode path needs; presets cover the reference's target
+models (Vicuna-7B-v1.3 per /root/reference/README.md:46, Llama-3-8B per
+/root/reference/evaluation/eval_llama3.py) plus tiny configs for tests and
+benchmarks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    max_position_embeddings: int = 4096
+    tie_embeddings: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    def with_dtype(self, dtype) -> "ModelConfig":
+        return replace(self, dtype=dtype)
+
+
+def llama_7b() -> ModelConfig:
+    """Vicuna-7B-v1.3 / Llama-2-7B shape."""
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+        rope_theta=10000.0, rms_eps=1e-6, max_position_embeddings=4096,
+    )
+
+
+def llama3_8b() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, rms_eps=1e-5, max_position_embeddings=8192,
+    )
+
+
+def llama_1b() -> ModelConfig:
+    """~1.1B TinyLlama shape: the default benchmark model when no real
+    checkpoint is available on the machine."""
+    return ModelConfig(
+        vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+        num_layers=22, num_heads=32, num_kv_heads=4, head_dim=64,
+        rope_theta=10000.0, rms_eps=1e-5, max_position_embeddings=2048,
+    )
+
+
+def tiny_config(vocab_size: int = 256, *, num_kv_heads: int = 2,
+                dtype=jnp.float32) -> ModelConfig:
+    """Small config for unit tests (fast CPU compile, fp32 for exactness)."""
+    return ModelConfig(
+        vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=num_kv_heads, head_dim=16,
+        rope_theta=10000.0, rms_eps=1e-6, max_position_embeddings=512,
+        dtype=dtype,
+    )
+
+
+def from_hf_config(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
+    """Build from a transformers LlamaConfig-like object."""
+    head_dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads)
+    return ModelConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
+        or hf_config.num_attention_heads,
+        head_dim=head_dim,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rms_eps=hf_config.rms_norm_eps,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        dtype=dtype,
+    )

@@ -1,0 +1,200 @@
+"""Functional JAX Llama for speculative decoding.
+
+Design (TPU-first, not a port):
+  * Pure functions over an explicit parameter pytree; no framework modules.
+    Layer parameters are stacked along a leading axis and the forward uses
+    ``lax.scan``, so compile time is O(1) in depth.
+  * ONE forward serves prefill, autoregressive decode, sequence-draft verify
+    and tree-draft verify — callers only vary ``position_ids`` and the
+    attention mask.  The reference instead monkey-patches HF Llama and splices
+    a tree mask by mutating shared state
+    (/root/reference/samd/model_patch/llama.py:94-96); here the mask is an
+    ordinary traced argument of a single jitted step.
+  * KV cache is written in-place (donated buffers) at a dynamic offset with
+    static block sizes, so XLA performs true in-place updates.
+  * Weights live in ``cfg.dtype`` (bf16 on TPU); normalization statistics and
+    attention softmax run in fp32; logits accumulate in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import ModelConfig
+
+Params = Dict[str, object]
+
+
+# ----------------------------------------------------------------------
+# Initialization
+# ----------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array, *, scale: float = 0.02) -> Params:
+    """Random-normal initialized parameter pytree (benchmarks/tests; real
+    checkpoints come from samd_tpu.models.loader)."""
+    keys = jax.random.split(key, 12)
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params: Params = {
+        "embed": norm(keys[0], (cfg.vocab_size, H)),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), cfg.dtype),
+            "wq": norm(keys[1], (L, H, NH * D)),
+            "wk": norm(keys[2], (L, H, KH * D)),
+            "wv": norm(keys[3], (L, H, KH * D)),
+            "wo": norm(keys[4], (L, NH * D, H)),
+            "mlp_norm": jnp.ones((L, H), cfg.dtype),
+            "w_gate": norm(keys[5], (L, H, I)),
+            "w_up": norm(keys[6], (L, H, I)),
+            "w_down": norm(keys[7], (L, I, H)),
+        },
+        "final_norm": jnp.ones((H,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = norm(keys[8], (H, cfg.vocab_size))
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+# ----------------------------------------------------------------------
+# Building blocks
+# ----------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return weight * normed.astype(dtype)
+
+
+def rope_tables(position_ids: jax.Array, head_dim: int,
+                theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables [B, T, head_dim] (half-split convention)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                                / head_dim))
+    angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B,T,D/2]
+    angles = jnp.concatenate([angles, angles], axis=-1)              # [B,T,D]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, T, heads, head_dim]; cos/sin: [B, T, head_dim]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
+               cfg: ModelConfig) -> jax.Array:
+    """q: [B,T,NH,D]; k,v: [B,KH,S,D]; mask: [B,T,S] bool -> [B,T,NH*D]."""
+    B, T = q.shape[0], q.shape[1]
+    KH, G, D = cfg.num_kv_heads, cfg.kv_groups, cfg.head_dim
+    qg = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)  # [B,KH,G,T,D]
+    scores = jnp.einsum("bkgtd,bksd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (D ** -0.5)
+    bias = jnp.where(mask[:, None, None, :, :], 0.0, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, KH * G * D)
+
+
+# ----------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------
+
+def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
+            position_ids: jax.Array, kv_k: jax.Array, kv_v: jax.Array,
+            write_offset: jax.Array, attn_mask: jax.Array,
+            ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One forward pass writing the block's KV into the cache.
+
+    Args:
+      tokens:       [B, T] int32
+      position_ids: [B, T] int32 (RoPE positions)
+      kv_k, kv_v:   [L, B, KH, S, D] cache (donated by jitted callers)
+      write_offset: scalar int32 — cache slot of the block's first token
+      attn_mask:    [B, T, S] bool — True where attention is allowed; callers
+                    must allow the block's own freshly-written slots
+                    [offset, offset+T) per their draft-tree structure.
+
+    Returns: (logits [B,T,V] fp32, hidden [B,T,H], kv_k, kv_v).
+    The pre-head hidden states are returned for EAGLE-style drafters
+    (reference plumbs them via a patched forward,
+    /root/reference/samd/model_patch/llama.py:114-204).
+    """
+    B, T = tokens.shape
+    H, D = cfg.hidden_size, cfg.head_dim
+    NH, KH = cfg.num_heads, cfg.num_kv_heads
+
+    h = params["embed"][tokens]  # [B,T,H] in cfg.dtype
+    cos, sin = rope_tables(position_ids, D, cfg.rope_theta)
+
+    def layer_step(carry, xs):
+        h = carry
+        lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
+        x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = (x @ lp["wq"]).reshape(B, T, NH, D)
+        k = (x @ lp["wk"]).reshape(B, T, KH, D)
+        v = (x @ lp["wv"]).reshape(B, T, KH, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
+        attn_out = _attention(q, k_cache, v_cache, attn_mask, cfg) @ lp["wo"]
+        h = h + attn_out
+        x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
+        gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
+        h = h + gated @ lp["w_down"]
+        return h, (k_cache, v_cache)
+
+    h, (kv_k, kv_v) = jax.lax.scan(layer_step, h, (params["layers"], kv_k, kv_v))
+    h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+    return logits, h, kv_k, kv_v
+
+
+# ----------------------------------------------------------------------
+# Attention-mask builders (shared by prefill / AR / verify)
+# ----------------------------------------------------------------------
+
+def prefill_mask(batch: int, seq_len: int, cache_size: int) -> jax.Array:
+    """Causal mask for a block written at offset 0: [B, T, S]."""
+    q = jnp.arange(seq_len)[:, None]
+    s = jnp.arange(cache_size)[None, :]
+    return jnp.broadcast_to(s <= q, (batch, seq_len, cache_size))
+
+
+def block_decode_mask(tree_mask: jax.Array, cache_len: jax.Array,
+                      cache_size: int, batch: int = 1) -> jax.Array:
+    """Mask for a draft block of M tokens written at ``cache_len``: every
+    query sees the committed prefix [0, cache_len) plus its tree ancestors
+    inside the block.  tree_mask: [M, M] bool.  Returns [B, M, S]."""
+    M = tree_mask.shape[0]
+    s = jnp.arange(cache_size)[None, :]                      # [1, S]
+    prefix = s < cache_len                                   # [1, S]
+    rel = jnp.clip(s - cache_len, 0, M - 1)                  # [1, S]
+    in_block = (s >= cache_len) & (s < cache_len + M)        # [1, S]
+    tm = jnp.take_along_axis(
+        tree_mask, jnp.broadcast_to(rel, (M, cache_size)), axis=1)  # [M, S]
+    allowed = prefix | (in_block & tm)
+    return jnp.broadcast_to(allowed, (batch, M, cache_size))
