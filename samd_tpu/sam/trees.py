@@ -136,12 +136,15 @@ def build_tree_buffers(tokens: Sequence[int], parents: Sequence[int], *,
 
 
 def chain_buffers(tokens: Sequence[int], *, max_nodes: int,
-                  max_depth: int) -> TreeBuffers:
-    """Buffers for a sequence draft: a single root→leaf chain."""
+                  max_depth: int, max_paths: int = 1) -> TreeBuffers:
+    """Buffers for a sequence draft: a single root→leaf chain.
+
+    ``max_paths`` lets callers pad the retrieve matrix to the same static row
+    count as tree drafts, so every draft source shares one compiled step."""
     n = len(tokens)
     parents = np.arange(-1, n - 1, dtype=np.int32)
     return build_tree_buffers(tokens, parents, max_nodes=max_nodes,
-                              max_paths=1, max_depth=max_depth)
+                              max_paths=max_paths, max_depth=max_depth)
 
 
 def adjacency_to_parents(adjacency: Sequence[Sequence[int]]) -> np.ndarray:

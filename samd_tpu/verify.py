@@ -1,0 +1,189 @@
+"""Draft verification and acceptance, fully inside the jitted decode step.
+
+Greedy path reproduces the reference protocol
+(/root/reference/samd/utils.py:127-141): for every root→leaf path of the
+draft tree, count the longest prefix where each drafted token equals the
+model's argmax at its parent; accept the best path plus one bonus token.
+
+TPU-first differences from the reference:
+  * The reference gathers full-vocab logits per path
+    (``tree_logits[retrieve_indices]`` → [R, D, V]) before comparing.  Here
+    the per-node argmax ([M] ints) is computed once and *that* is gathered —
+    no [R, D, V] tensor ever exists.
+  * Everything is static-shape: padded retrieve rows are masked, outputs are
+    fixed-size arrays + scalars, so acceptance lives inside one jit with the
+    forward and the KV compaction.
+
+Sampling path implements standard speculative rejection sampling along tree
+paths (the reference's multinomial loop, /root/reference/samd/utils.py:142-184)
+with a fixed trip count under ``lax``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AcceptResult(NamedTuple):
+    best_path: jax.Array       # scalar int32 — winning retrieve row
+    accept_len: jax.Array      # scalar int32 — #accepted tokens (>= 1)
+    path_nodes: jax.Array      # [D] int32 — block-relative node ids of the
+                               #   winning path (clamped where padded)
+    accepted_tokens: jax.Array # [D] int32 — tokens along the winning path
+    next_token: jax.Array      # scalar int32 — bonus token sampled from the
+                               #   last accepted node's distribution
+    next_logits: jax.Array     # [V] fp32 — that node's logits (for drafters
+                               #   and for sampling-mode continuation)
+
+
+def greedy_accept(logits: jax.Array, draft_tokens: jax.Array,
+                  retrieve_indices: jax.Array) -> AcceptResult:
+    """logits: [M, V] fp32; draft_tokens: [M] int32;
+    retrieve_indices: [R, D] int32 (-1 padded)."""
+    argmax_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [M]
+    valid = retrieve_indices >= 0
+    nodes = jnp.maximum(retrieve_indices, 0)                       # [R, D]
+    cand = draft_tokens[nodes]                                     # [R, D]
+    pred = argmax_tokens[nodes]                                    # [R, D]
+    hit = (cand[:, 1:] == pred[:, :-1]) & valid[:, 1:]
+    run = jnp.cumprod(hit.astype(jnp.int32), axis=1).sum(axis=1)   # [R]
+    # Fully-padded rows can never win (root column invalid -> -1).
+    run = jnp.where(valid[:, 0], run, -1)
+    best = jnp.argmax(run).astype(jnp.int32)
+    accept_len = (run[best] + 1).astype(jnp.int32)
+    path_nodes = nodes[best]
+    last_node = path_nodes[accept_len - 1]
+    return AcceptResult(
+        best_path=best,
+        accept_len=accept_len,
+        path_nodes=path_nodes,
+        accepted_tokens=cand[best],
+        next_token=argmax_tokens[last_node],
+        next_logits=logits[last_node],
+    )
+
+
+def _process_logits(logits: jax.Array, temperature: float, top_p: float,
+                    top_k: int) -> jax.Array:
+    """Temperature / top-k / top-p warping (order follows the reference's
+    LogitsProcessorList, /root/reference/samd/utils.py:50-63).  Static knobs;
+    returns warped logits."""
+    if temperature >= 1e-5 and temperature != 1.0:
+        logits = logits / temperature
+    if 1e-8 <= top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (always keep best)
+        cutoff_mask = cum - probs >= top_p
+        threshold = jnp.min(
+            jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1,
+            keepdims=True)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return logits
+
+
+def sampling_accept(logits: jax.Array, draft_tokens: jax.Array,
+                    retrieve_indices: jax.Array, key: jax.Array,
+                    *, temperature: float, top_p: float,
+                    top_k: int) -> AcceptResult:
+    """Speculative rejection sampling over tree paths with static trip count.
+
+    Follows the reference semantics (/root/reference/samd/utils.py:142-184):
+    walk depth levels; at each level consider the distinct next tokens of the
+    still-matching paths in row order, accept token x with prob p(x) (draft
+    proposes deterministically, q=1), else zero it out and renormalize.  On
+    the first rejection, sample the bonus token from the adjusted residual
+    distribution; if every level accepted, sample from the last node's
+    (warped) distribution.
+    """
+    R, D = retrieve_indices.shape
+    V = logits.shape[-1]
+    valid = retrieve_indices >= 0
+    nodes = jnp.maximum(retrieve_indices, 0)
+    cand = jnp.where(valid, draft_tokens[nodes], -1)               # [R, D]
+    warped = _process_logits(logits, temperature, top_p, top_k)    # [M, V]
+    keys = jax.random.split(key, D + 1)
+
+    class Carry(NamedTuple):
+        accept_len: jax.Array    # tokens accepted so far
+        best: jax.Array          # row of the current accepted prefix
+        alive: jax.Array         # [R] rows matching the accepted prefix
+        done: jax.Array          # rejection happened (stop extending)
+        residual: jax.Array      # [V] distribution to sample the bonus from
+        use_residual: jax.Array  # bool — sample bonus from residual?
+
+    def level(i, c: Carry):
+        # distribution at the last accepted node of the current best path
+        parent_node = nodes[c.best, i - 1]
+        gtp = jax.nn.softmax(warped[parent_node])                  # [V]
+
+        # candidate next tokens of alive rows at depth i, deduped in row order
+        toks = cand[:, i]                                          # [R]
+        row_ok = c.alive & valid[:, i]
+        first_row = jnp.where(
+            (toks[None, :] == toks[:, None]) & row_ok[None, :],
+            jnp.arange(R)[None, :], R).min(axis=1)
+        is_first = row_ok & (first_row == jnp.arange(R))
+
+        def try_row(j, state):
+            gtp_j, accepted, row, done_j, k = state
+            tok = toks[j]
+            consider = is_first[j] & ~accepted & ~done_j
+            k, sub = jax.random.split(k)
+            r = jax.random.uniform(sub)
+            px = gtp_j[tok]
+            take = consider & (r <= px)
+            # rejection: zero out and renormalize
+            gtp_rej = gtp_j.at[tok].set(0.0)
+            gtp_rej = gtp_rej / jnp.maximum(gtp_rej.sum(), 1e-20)
+            gtp_j = jnp.where(consider & ~take, gtp_rej, gtp_j)
+            accepted = accepted | take
+            row = jnp.where(take, j, row)
+            return gtp_j, accepted, row, done_j, k
+
+        gtp2, accepted, row, _, _ = jax.lax.fori_loop(
+            0, R, try_row,
+            (gtp, jnp.bool_(False), jnp.int32(0), c.done, keys[i]))
+
+        any_candidate = jnp.any(is_first)
+        step_active = ~c.done & any_candidate & (c.accept_len == i)
+
+        new_best = jnp.where(step_active & accepted, row, c.best)
+        new_alive = jnp.where(
+            step_active & accepted,
+            c.alive & (toks == toks[row]) & valid[:, i], c.alive)
+        new_len = jnp.where(step_active & accepted, c.accept_len + 1,
+                            c.accept_len)
+        rejected_now = step_active & ~accepted
+        new_done = c.done | rejected_now | ~any_candidate
+        new_residual = jnp.where(rejected_now, gtp2, c.residual)
+        new_use = jnp.where(rejected_now, True, c.use_residual)
+        return Carry(new_len, new_best, new_alive, new_done, new_residual,
+                     new_use)
+
+    init = Carry(
+        accept_len=jnp.int32(1), best=jnp.int32(0),
+        alive=valid[:, 0], done=jnp.bool_(False),
+        residual=jnp.zeros((V,), jnp.float32), use_residual=jnp.bool_(False))
+    c = jax.lax.fori_loop(1, D, level, init)
+
+    last_node = nodes[c.best, c.accept_len - 1]
+    final_dist = jnp.where(
+        c.use_residual, c.residual, jax.nn.softmax(warped[last_node]))
+    next_token = jax.random.categorical(
+        keys[D], jnp.log(jnp.maximum(final_dist, 1e-20))).astype(jnp.int32)
+    return AcceptResult(
+        best_path=c.best,
+        accept_len=c.accept_len,
+        path_nodes=nodes[c.best],
+        accepted_tokens=jnp.where(valid[c.best], cand[c.best], 0),
+        next_token=next_token,
+        next_logits=jnp.log(jnp.maximum(final_dist, 1e-20)),
+    )
