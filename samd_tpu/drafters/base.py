@@ -14,18 +14,24 @@ from typing import Optional, Protocol, Sequence
 
 import numpy as np
 
-from ..sam.trees import TreeBuffers
-
 
 @dataclass(frozen=True)
 class Draft:
-    """A drafter's proposal for one verify step."""
-    buffers: TreeBuffers
+    """A drafter's proposal for one verify step, in the packed device layout:
+    ``packed[0]`` = node tokens, ``packed[1]`` = parent indices (-1 for the
+    root, self-parent for padding nodes).  The attention mask, positions and
+    retrieval paths are derived from this on-device (samd_tpu.ops.treeops)."""
+    packed: np.ndarray  # [2, M] int32
+    num_nodes: int
     source: str  # e.g. "sam_dyn", "sam_static", "token_recycle", "eagle2"
 
 
 class Drafter(Protocol):
     """Host-side draft provider."""
+
+    #: whether this drafter consumes the [M, K] top-K verify harvest
+    #: (fetching it costs a device→host transfer per step)
+    wants_harvest: bool = False
 
     def reset(self) -> None:
         """Start a new request."""

@@ -19,8 +19,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..config import SamdConfig
+from ..ops.treeops import pack_draft_host
 from ..sam.automaton import SuffixAutomaton
-from ..sam.trees import build_tree_buffers, chain_buffers
 from .base import Draft, Drafter
 
 
@@ -40,6 +40,11 @@ class AdaptiveSelector:
         if self.static is not None and self.static._topk is None \
                 and config.draft_source == "sam_only":
             self.static.finalize_topk(config.tree_topk)
+
+    @property
+    def wants_harvest(self) -> bool:
+        return (self.tree_drafter is not None
+                and getattr(self.tree_drafter, "wants_harvest", False))
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
@@ -85,10 +90,9 @@ class AdaptiveSelector:
         return self._sam_only(start_token, s_dyn, m_dyn, s_st, m_st_adj)
 
     def _chain(self, seq, source: str) -> Draft:
-        buffers = chain_buffers(seq, max_nodes=self.config.max_predicts,
-                                max_depth=self.config.max_tree_depth,
-                                max_paths=self.config.max_tree_paths)
-        return Draft(buffers=buffers, source=source)
+        parents = np.arange(-1, len(seq) - 1, dtype=np.int32)
+        packed = pack_draft_host(seq, parents, self.config.max_predicts)
+        return Draft(packed=packed, num_nodes=len(seq), source=source)
 
     def _hybrid(self, start_token, s_dyn, m_dyn, s_st, m_st_adj) -> Draft:
         cfg = self.config
@@ -111,7 +115,6 @@ class AdaptiveSelector:
         n = min(cfg.max_predicts, 1 + int(m_st_adj * cfg.alpha))
         tokens, parents = self.static.tree_draft(
             s_st, start_token, n, cfg.tree_topk)
-        buffers = build_tree_buffers(
-            tokens, parents, max_nodes=cfg.max_predicts,
-            max_paths=cfg.max_tree_paths, max_depth=cfg.max_tree_depth)
-        return Draft(buffers=buffers, source="sam_static")
+        packed = pack_draft_host(tokens, parents, cfg.max_predicts)
+        return Draft(packed=packed, num_nodes=len(tokens),
+                     source="sam_static")

@@ -15,12 +15,11 @@ TPU-native changes:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence
 
 import numpy as np
 
-from ..sam.trees import TreeBuffers, build_tree_buffers
+from ..ops.treeops import pack_draft_host
 from .base import Draft
 from .tree_topology import child_ranks, rank_probability_tree
 
@@ -28,8 +27,10 @@ TOPK = 8
 
 
 class TokenRecycleDrafter:
+    wants_harvest = True
+
     def __init__(self, vocab_size: int, *, parents: Optional[np.ndarray] = None,
-                 max_nodes: int, max_paths: int, max_depth: int,
+                 max_nodes: int, max_paths: int = 0, max_depth: int = 0,
                  topk: int = TOPK):
         self.vocab_size = vocab_size
         self.topk = topk
@@ -39,11 +40,9 @@ class TokenRecycleDrafter:
         self.parents = parents
         self.children = child_ranks(parents)
         self.num_nodes = len(parents)
-        # Static buffers; reference reverses leaf order for its static trees
-        # (/root/reference/samd/tree_model/token_recycle/utils.py:92).
-        self._base = build_tree_buffers(
-            np.zeros(self.num_nodes, np.int32), parents, max_nodes=max_nodes,
-            max_paths=max_paths, max_depth=max_depth, reverse_leaf_order=True)
+        # Static topology: pack once, rewrite only the token row per step.
+        self._packed = pack_draft_host(
+            np.zeros(self.num_nodes, np.int32), parents, max_nodes)
         self._cache = np.zeros((vocab_size, topk), dtype=np.int32)
         self._seen = np.zeros(vocab_size, dtype=bool)
 
@@ -77,10 +76,10 @@ class TokenRecycleDrafter:
 
     def lookup(self, start_token: int) -> Draft:
         tokens = self.fill_tree(start_token)
-        padded = np.zeros(self._base.tokens.shape[0], np.int32)
-        padded[:self.num_nodes] = tokens
-        buffers = dataclasses.replace(self._base, tokens=padded)
-        return Draft(buffers=buffers, source="token_recycle")
+        packed = self._packed.copy()
+        packed[0, :self.num_nodes] = tokens
+        return Draft(packed=packed, num_nodes=self.num_nodes,
+                     source="token_recycle")
 
     def fill_tree(self, start_token: int) -> np.ndarray:
         tokens = np.zeros(self.num_nodes, dtype=np.int32)

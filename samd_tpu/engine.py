@@ -3,25 +3,32 @@
 Replaces the reference's ``SamdModel`` (/root/reference/samd/samd_model.py)
 with a TPU-native loop:
 
-  * ONE jitted decode step per engine config: target forward over the draft
-    block + acceptance + KV compaction + top-K harvest, all static shapes,
-    KV buffers donated (true in-place).  The reference instead interleaves
-    host logic between device calls (mask-state mutation, `.item()` syncs,
+  * ONE jitted decode step per engine config: in-jit draft-tree buffer
+    derivation (samd_tpu.ops.treeops), target forward over the draft block,
+    acceptance, KV compaction and top-K harvest — all static shapes, KV
+    buffers donated (true in-place).  The reference instead interleaves host
+    logic between device calls (mask-state mutation, `.item()` syncs,
     per-layer cache rollback).
   * Sequence and tree drafts share the step: a sequence is a chain tree.
+  * Host↔device traffic per step is exactly one [2, M] int32 upload (draft
+    tokens + parents) and one [D+2] int32 download (accept_len, bonus token,
+    accepted path) — plus, only when a model-based drafter consumes it, the
+    [M, K] top-K harvest.  On pod/tunnel deployments every transfer is an
+    RPC, so this is the difference between dispatch-bound and compute-bound
+    decoding.
   * Prefill is jitted per power-of-two length bucket.
-  * Per-step host↔device traffic: draft buffers up; accepted tokens, bonus
-    token and the [M, K] top-K harvest down.
 
-Greedy output equality with plain autoregressive decoding holds by
-construction: the AR baseline (`ar_generate`) runs the *same* forward with a
-1-node chain draft, so logits agree step-for-step.
+Losslessness: ``ArBaseline(block_size=M)`` runs vanilla AR decoding through
+the *same* M-wide compiled step (one real token + padding), which makes
+greedy outputs bitwise comparable to speculative runs — row position inside
+a block does not change per-row matmul accumulation order, whereas different
+block shapes (an M=1 AR step) may tile reductions differently and flip
+near-tie argmaxes in bf16.
 """
 
 from __future__ import annotations
 
 import functools
-import time
 from collections import namedtuple
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
@@ -35,7 +42,8 @@ from .config import GenerationConfig, SamdConfig
 from .drafters.base import Draft, Drafter
 from .models.configs import ModelConfig
 from .models.llama import Params, block_decode_mask, forward, prefill_mask
-from .verify import AcceptResult, greedy_accept, sampling_accept
+from .ops.treeops import pack_draft_host, unpack_draft
+from .verify import greedy_accept, sampling_accept
 
 Outputs = namedtuple(
     "Outputs",
@@ -56,6 +64,10 @@ class StepStats:
         self.accept_by_source[source] = (
             self.accept_by_source.get(source, 0) + accept_len)
 
+    def mean_accept(self) -> float:
+        steps = sum(self.source_counts.values())
+        return sum(self.accept_by_source.values()) / max(steps, 1)
+
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
@@ -71,8 +83,16 @@ class SamdEngine:
                  eos_token_id: int = 2,
                  stop_token_id: Optional[int] = None,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
-                 harvest_topk: int = HARVEST_TOPK):
+                 harvest_topk: int = HARVEST_TOPK,
+                 mesh=None):
         self.model_cfg = model_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # Tensor-parallel serving: shard weights/KV once; every jitted
+            # step then compiles under GSPMD with ICI collectives.
+            from .parallel.sharding import check_shardable, shard_params
+            check_shardable(model_cfg, mesh)
+            params = shard_params(params, mesh, model_cfg)
         self.params = params
         self.samd_cfg = samd_cfg
         self.drafter = drafter
@@ -85,10 +105,12 @@ class SamdEngine:
         self.stats = StepStats()
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
+        if mesh is not None:
+            from .parallel.sharding import shard_kv
+            self.kv_k, self.kv_v = shard_kv(self.kv_k, self.kv_v, mesh)
         self._prefill_fns: Dict[int, callable] = {}
         self._decode_fn = self._build_decode_step()
         self._sampling_fns: Dict[tuple, callable] = {}
-        self._ar_fn = None
 
     # ------------------------------------------------------------------
     # Jitted steps
@@ -110,44 +132,56 @@ class SamdEngine:
 
         return prefill
 
+    def _verify_core(self, params, kv_k, kv_v, cache_len, draft):
+        """Shared forward + in-jit buffer derivation for decode steps."""
+        cfg, S = self.model_cfg, self.max_cache_len
+        D = self.samd_cfg.max_tree_depth
+        draft_tokens, tree_mask, depths, paths = unpack_draft(draft, D)
+        mask = block_decode_mask(tree_mask, cache_len, S)
+        logits, _, kv_k, kv_v = forward(
+            params, cfg, draft_tokens[None], depths[None, :] + cache_len,
+            kv_k, kv_v, cache_len, mask)
+        return logits, draft_tokens, paths, kv_k, kv_v
+
     def _build_decode_step(self):
-        cfg, S, K = self.model_cfg, self.max_cache_len, self.harvest_topk
         M = self.samd_cfg.max_predicts
+        K = self.harvest_topk
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_step(params, kv_k, kv_v, cache_len, draft_tokens,
-                        tree_mask, position_ids, retrieve_indices):
-            mask = block_decode_mask(tree_mask, cache_len, S)
-            logits, _, kv_k, kv_v = forward(
-                params, cfg, draft_tokens[None],
-                position_ids[None] + cache_len, kv_k, kv_v, cache_len, mask)
-            res = greedy_accept(logits[0], draft_tokens, retrieve_indices)
+        def decode_step(params, kv_k, kv_v, cache_len, draft):
+            logits, draft_tokens, paths, kv_k, kv_v = self._verify_core(
+                params, kv_k, kv_v, cache_len, draft)
+            res = greedy_accept(logits[0], draft_tokens, paths)
             kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M)
             kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M)
+            # one-transfer result: [accept_len, next_token, path tokens...]
+            pack = jnp.concatenate([
+                res.accept_len[None], res.next_token[None],
+                res.accepted_tokens]).astype(jnp.int32)
             topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
-            return kv_k, kv_v, res, topk_tok
+            return kv_k, kv_v, pack, topk_tok
 
         return decode_step
 
     def _build_sampling_step(self, temperature: float, top_p: float,
                              top_k: int):
-        cfg, S, K = self.model_cfg, self.max_cache_len, self.harvest_topk
         M = self.samd_cfg.max_predicts
+        K = self.harvest_topk
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_step(params, kv_k, kv_v, cache_len, draft_tokens,
-                        tree_mask, position_ids, retrieve_indices, key):
-            mask = block_decode_mask(tree_mask, cache_len, S)
-            logits, _, kv_k, kv_v = forward(
-                params, cfg, draft_tokens[None],
-                position_ids[None] + cache_len, kv_k, kv_v, cache_len, mask)
+        def decode_step(params, kv_k, kv_v, cache_len, draft, key):
+            logits, draft_tokens, paths, kv_k, kv_v = self._verify_core(
+                params, kv_k, kv_v, cache_len, draft)
             res = sampling_accept(
-                logits[0], draft_tokens, retrieve_indices, key,
+                logits[0], draft_tokens, paths, key,
                 temperature=temperature, top_p=top_p, top_k=top_k)
             kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M)
             kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M)
+            pack = jnp.concatenate([
+                res.accept_len[None], res.next_token[None],
+                res.accepted_tokens]).astype(jnp.int32)
             topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
-            return kv_k, kv_v, res, topk_tok
+            return kv_k, kv_v, pack, topk_tok
 
         return decode_step
 
@@ -164,7 +198,13 @@ class SamdEngine:
             self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
                                  jnp.asarray(padded),
                                  jnp.int32(len(input_ids)))
-        return next_token, last_logits, np.asarray(topk)
+        return next_token, last_logits, topk
+
+    def _truncate_at_stop(self, accepted: List[int]):
+        for stop in (self.eos_token_id, self.stop_token_id):
+            if stop is not None and stop in accepted:
+                return accepted[:accepted.index(stop) + 1], True
+        return accepted, False
 
     def generate(self, input_ids: Sequence[int],
                  gen_config: Optional[GenerationConfig] = None) -> Outputs:
@@ -172,11 +212,13 @@ class SamdEngine:
         input_ids = list(input_ids)
         M = self.samd_cfg.max_predicts
         S = min(self.max_cache_len, gen.max_cache_len)
+        wants_harvest = getattr(self.drafter, "wants_harvest", False)
 
         self.drafter.reset()
         next_token_dev, last_logits, topk = self._prefill(input_ids)
-        self.drafter.observe_prompt(input_ids,
-                                    topk[:len(input_ids)])
+        self.drafter.observe_prompt(
+            input_ids,
+            np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
 
         sampling = not gen.greedy
         if sampling:
@@ -203,36 +245,28 @@ class SamdEngine:
             if cache_len + M > S:
                 break
             draft = self.drafter.lookup(start_token)
-            b = draft.buffers
             args = (self.params, self.kv_k, self.kv_v, jnp.int32(cache_len),
-                    jnp.asarray(b.tokens), jnp.asarray(b.attn_mask),
-                    jnp.asarray(b.position_ids),
-                    jnp.asarray(b.retrieve_indices))
+                    jnp.asarray(draft.packed))
             if sampling:
                 key, sub = jax.random.split(key)
-                self.kv_k, self.kv_v, res, topk = step_fn(*args, sub)
+                self.kv_k, self.kv_v, pack, topk = step_fn(*args, sub)
             else:
-                self.kv_k, self.kv_v, res, topk = step_fn(*args)
+                self.kv_k, self.kv_v, pack, topk = step_fn(*args)
 
-            accept_len = int(res.accept_len)
-            accepted = np.asarray(res.accepted_tokens)[:accept_len].tolist()
-            next_start = int(res.next_token)
+            pack = np.asarray(pack)  # single device→host fetch
+            accept_len = int(pack[0])
+            next_start = int(pack[1])
+            accepted = pack[2:2 + accept_len].tolist()
 
-            # EOS / stop-token truncation (reference samd_model.py:256-262)
-            eos_hit = False
-            for stop in (self.eos_token_id, self.stop_token_id):
-                if stop is not None and stop in accepted:
-                    accepted = accepted[:accepted.index(stop) + 1]
-                    eos_hit = True
-                    break
-
+            accepted, eos_hit = self._truncate_at_stop(accepted)
             self.drafter.observe_accepted(accepted)
-            self.drafter.observe_verify(b.tokens, np.asarray(topk),
-                                        b.num_nodes)
+            if wants_harvest:
+                self.drafter.observe_verify(
+                    draft.packed[0], np.asarray(topk), draft.num_nodes)
             self.stats.record(draft.source, len(accepted))
 
             output.extend(accepted)
-            cache_len += accept_len  # cache holds full accepted path
+            cache_len += accept_len  # cache holds the full accepted path
             decode_steps += 1
             decode_tokens += len(accepted)
             accept_lens.append(len(accepted))
@@ -251,9 +285,12 @@ class SamdEngine:
         input_ids = list(input_ids)
         M = self.samd_cfg.max_predicts
         S = min(self.max_cache_len, gen.max_cache_len)
+        wants_harvest = getattr(self.drafter, "wants_harvest", False)
         self.drafter.reset()
         next_token_dev, _, topk = self._prefill(input_ids)
-        self.drafter.observe_prompt(input_ids, topk[:len(input_ids)])
+        self.drafter.observe_prompt(
+            input_ids,
+            np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
         cache_len = len(input_ids)
         decode_tokens = 0
         start_token = int(next_token_dev)
@@ -261,26 +298,21 @@ class SamdEngine:
             if cache_len + M > S:
                 break
             draft = self.drafter.lookup(start_token)
-            b = draft.buffers
-            self.kv_k, self.kv_v, res, topk = self._decode_fn(
+            self.kv_k, self.kv_v, pack, topk = self._decode_fn(
                 self.params, self.kv_k, self.kv_v, jnp.int32(cache_len),
-                jnp.asarray(b.tokens), jnp.asarray(b.attn_mask),
-                jnp.asarray(b.position_ids), jnp.asarray(b.retrieve_indices))
-            accept_len = int(res.accept_len)
-            accepted = np.asarray(res.accepted_tokens)[:accept_len].tolist()
-            eos_hit = False
-            for stop in (self.eos_token_id, self.stop_token_id):
-                if stop is not None and stop in accepted:
-                    accepted = accepted[:accepted.index(stop) + 1]
-                    eos_hit = True
-                    break
+                jnp.asarray(draft.packed))
+            pack = np.asarray(pack)
+            accept_len = int(pack[0])
+            accepted = pack[2:2 + accept_len].tolist()
+            accepted, eos_hit = self._truncate_at_stop(accepted)
             self.drafter.observe_accepted(accepted)
-            self.drafter.observe_verify(b.tokens, np.asarray(topk),
-                                        b.num_nodes)
+            if wants_harvest:
+                self.drafter.observe_verify(
+                    draft.packed[0], np.asarray(topk), draft.num_nodes)
             cache_len += accept_len
             decode_tokens += len(accepted)
             yield accepted
-            start_token = int(res.next_token)
+            start_token = int(pack[1])
             if eos_hit or decode_tokens >= gen.max_new_tokens:
                 break
 
@@ -289,30 +321,14 @@ class SamdEngine:
 # Autoregressive baseline (speedup denominator + equality oracle)
 # ----------------------------------------------------------------------
 
-class ArBaseline:
-    """Plain autoregressive decoding through the same forward/cache code:
-    the engine's speedup denominator (reference
-    evaluation/inference_baseline.py) and greedy-equality oracle."""
-
-    def __init__(self, model_cfg: ModelConfig, params: Params, *,
-                 max_cache_len: int = 2048, eos_token_id: int = 2,
-                 stop_token_id: Optional[int] = None,
-                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
-        samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=1,
-                              max_tree_paths=1, max_tree_depth=1)
-        self.cfg = model_cfg
-        self._engine = SamdEngine(
-            model_cfg, params, samd_cfg, _SingleTokenDrafter(),
-            max_cache_len=max_cache_len, eos_token_id=eos_token_id,
-            stop_token_id=stop_token_id, prefill_buckets=prefill_buckets)
-
-    def generate(self, input_ids, gen_config=None) -> Outputs:
-        return self._engine.generate(input_ids, gen_config)
-
-
 class _SingleTokenDrafter:
-    """Draft = just the start token: every step verifies exactly one token,
-    which is always accepted — i.e. vanilla AR decoding."""
+    """Draft = just the start token (padded to the block size): every step
+    verifies one token, which is always accepted — vanilla AR decoding."""
+
+    wants_harvest = False
+
+    def __init__(self, block_size: int = 1):
+        self.block_size = block_size
 
     def reset(self):
         pass
@@ -327,6 +343,34 @@ class _SingleTokenDrafter:
         pass
 
     def lookup(self, start_token: int) -> Draft:
-        from .sam.trees import chain_buffers
-        return Draft(buffers=chain_buffers([start_token], max_nodes=1,
-                                           max_depth=1), source="ar")
+        packed = pack_draft_host([start_token], [-1], self.block_size)
+        return Draft(packed=packed, num_nodes=1, source="ar")
+
+
+class ArBaseline:
+    """Plain autoregressive decoding through the same forward/cache code.
+
+    ``block_size=1`` (default) is the efficient speed baseline (reference
+    evaluation/inference_baseline.py).  ``block_size=M`` runs AR through the
+    same M-wide compiled step as a speculative engine with
+    ``max_predicts=M`` — the bitwise greedy-equality oracle (see module
+    docstring)."""
+
+    def __init__(self, model_cfg: ModelConfig, params: Params, *,
+                 max_cache_len: int = 2048, eos_token_id: int = 2,
+                 stop_token_id: Optional[int] = None,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
+                 block_size: int = 1, mesh=None):
+        samd_cfg = SamdConfig(draft_source="sam_only",
+                              max_predicts=block_size,
+                              max_tree_paths=block_size,
+                              max_tree_depth=block_size)
+        self.cfg = model_cfg
+        self._engine = SamdEngine(
+            model_cfg, params, samd_cfg, _SingleTokenDrafter(block_size),
+            max_cache_len=max_cache_len, eos_token_id=eos_token_id,
+            stop_token_id=stop_token_id, prefill_buckets=prefill_buckets,
+            mesh=mesh)
+
+    def generate(self, input_ids, gen_config=None) -> Outputs:
+        return self._engine.generate(input_ids, gen_config)

@@ -1,0 +1,92 @@
+"""Sharding rules: megatron-style tensor parallelism over a device mesh.
+
+The reference has no distributed runtime (SURVEY.md §2.5) — multi-GPU means
+HF ``device_map`` layer placement.  Here parallelism is first-class: one
+``Mesh`` with axes ``("dp", "tp")``; weights and KV cache carry
+``NamedSharding``s and every jitted step compiles under GSPMD, which inserts
+the ICI collectives (all-reduce after row-sharded matmuls, all-gather for the
+sharded-vocab argmax) automatically.
+
+Layout:
+  * column-parallel: wq/wk/wv, w_gate/w_up  → shard output dim over "tp"
+  * row-parallel:    wo, w_down             → shard input dim over "tp"
+    (GSPMD inserts one psum per attention/MLP block, riding ICI)
+  * embed: vocab-sharded rows; lm_head: vocab-sharded columns — the fp32
+    logits stay sharded through argmax/top-k reductions
+  * KV cache [L, B, KH, S, D]: batch over "dp", kv-heads over "tp" — the
+    decode gather/compact stays local to each shard
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.configs import ModelConfig
+
+
+def make_mesh(num_devices: Optional[int] = None, *, dp: int = 1,
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % dp != 0:
+        raise ValueError(f"{n} devices not divisible by dp={dp}")
+    tp = n // dp
+    return Mesh(np.asarray(devices).reshape(dp, tp), ("dp", "tp"))
+
+
+def check_shardable(cfg: ModelConfig, mesh: Mesh) -> None:
+    tp = mesh.shape["tp"]
+    for name, dim in [("num_kv_heads", cfg.num_kv_heads),
+                      ("num_heads", cfg.num_heads),
+                      ("intermediate_size", cfg.intermediate_size),
+                      ("vocab_size", cfg.vocab_size)]:
+        if dim % tp != 0:
+            raise ValueError(f"{name}={dim} not divisible by tp={tp}")
+
+
+def param_specs(cfg: ModelConfig) -> dict:
+    """PartitionSpec pytree matching samd_tpu.models.llama.init_params."""
+    specs = {
+        "embed": P("tp", None),
+        "layers": {
+            "attn_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "mlp_norm": P(None, None),
+            "w_gate": P(None, None, "tp"),
+            "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        },
+        "final_norm": P(None),
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def kv_spec() -> P:
+    return P(None, "dp", "tp", None, None)
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    specs = param_specs(cfg)
+    # specs is the first tree with PartitionSpec treated as a leaf, so this is
+    # robust regardless of whether PartitionSpec registers as a container.
+    return jax.tree.map(
+        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
+        specs, params,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_kv(kv_k, kv_v, mesh: Mesh) -> Tuple[jax.Array, jax.Array]:
+    s = NamedSharding(mesh, kv_spec())
+    return jax.device_put(kv_k, s), jax.device_put(kv_v, s)

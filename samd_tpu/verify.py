@@ -50,8 +50,9 @@ def greedy_accept(logits: jax.Array, draft_tokens: jax.Array,
     pred = argmax_tokens[nodes]                                    # [R, D]
     hit = (cand[:, 1:] == pred[:, :-1]) & valid[:, 1:]
     run = jnp.cumprod(hit.astype(jnp.int32), axis=1).sum(axis=1)   # [R]
-    # Fully-padded rows can never win (root column invalid -> -1).
-    run = jnp.where(valid[:, 0], run, -1)
+    # Only rows anchored at the tree root are real paths (padding nodes'
+    # rows start at themselves); they can never win.
+    run = jnp.where(retrieve_indices[:, 0] == 0, run, -1)
     best = jnp.argmax(run).astype(jnp.int32)
     accept_len = (run[best] + 1).astype(jnp.int32)
     path_nodes = nodes[best]
@@ -170,7 +171,8 @@ def sampling_accept(logits: jax.Array, draft_tokens: jax.Array,
 
     init = Carry(
         accept_len=jnp.int32(1), best=jnp.int32(0),
-        alive=valid[:, 0], done=jnp.bool_(False),
+        alive=valid[:, 0] & (retrieve_indices[:, 0] == 0),
+        done=jnp.bool_(False),
         residual=jnp.zeros((V,), jnp.float32), use_residual=jnp.bool_(False))
     c = jax.lax.fori_loop(1, D, level, init)
 

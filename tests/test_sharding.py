@@ -1,0 +1,93 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+Validates that the engine compiles and runs under GSPMD tensor parallelism
+and that TP sharding does not change greedy outputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from samd_tpu.config import GenerationConfig, SamdConfig
+from samd_tpu.drafters import make_drafter
+from samd_tpu.engine import SamdEngine
+from samd_tpu.models import init_params
+from samd_tpu.models.configs import ModelConfig
+from samd_tpu.parallel import make_mesh, param_specs, shard_params
+
+
+def shardable_config():
+    return ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=8, num_kv_heads=8, head_dim=8,
+        max_position_embeddings=512, dtype=jax.numpy.float32)
+
+
+def test_mesh_creation():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8, dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+
+
+def test_param_sharding_layout():
+    cfg = shardable_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8, dp=1)
+    sharded = shard_params(params, mesh, cfg)
+    wq = sharded["layers"]["wq"]
+    # column-parallel: local shard holds 1/8 of the output dim
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    assert shard_shapes == {(cfg.num_layers, 64, 64 // 8 * 8 // 8)} or all(
+        s.data.shape[2] == wq.shape[2] // 8 for s in wq.addressable_shards)
+
+
+def test_tp_engine_matches_single_device():
+    cfg = shardable_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), scale=0.4)
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=8, len_bias=0)
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=128)
+    prompt = np.random.default_rng(0).integers(3, 256, size=16).tolist()
+
+    single = SamdEngine(cfg, params, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size),
+                        max_cache_len=128, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    ref = single.generate(prompt, gen)
+
+    mesh = make_mesh(8, dp=1)
+    tp = SamdEngine(cfg, params, samd_cfg,
+                    make_drafter(samd_cfg, cfg.vocab_size),
+                    max_cache_len=128, eos_token_id=-1,
+                    prefill_buckets=(32,), mesh=mesh)
+    out = tp.generate(prompt, gen)
+    assert out.output_ids == ref.output_ids
+    assert out.decode_tokens == ref.decode_tokens
+
+
+def test_dp_tp_batched_forward():
+    """Exercise dp+tp jointly on a batched raw forward (the continuous-
+    batching layout: batch over dp, heads over tp)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from samd_tpu.cache import init_kv_cache
+    from samd_tpu.models.llama import forward, prefill_mask
+    from samd_tpu.parallel import kv_spec
+
+    cfg = shardable_config()
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    mesh = make_mesh(8, dp=2)
+    params = shard_params(params, mesh, cfg)
+    B, T, S = 2, 8, 32
+    kv_k, kv_v = init_kv_cache(cfg, B, S)
+    sh = NamedSharding(mesh, kv_spec())
+    kv_k, kv_v = jax.device_put(kv_k, sh), jax.device_put(kv_v, sh)
+    tokens = jax.device_put(
+        jax.numpy.ones((B, T), jax.numpy.int32),
+        NamedSharding(mesh, P("dp", None)))
+    pos = jax.numpy.broadcast_to(jax.numpy.arange(T)[None], (B, T))
+    logits, _, kv_k, kv_v = jax.jit(forward, static_argnums=1)(
+        params, cfg, tokens, pos, kv_k, kv_v, jax.numpy.int32(0),
+        prefill_mask(B, T, S))
+    assert logits.shape == (B, T, cfg.vocab_size)
+    assert not bool(jax.numpy.isnan(logits).any())
