@@ -47,6 +47,9 @@ class SamdConfig:
     max_tree_paths: Optional[int] = None    # R; defaults to max_predicts
     max_tree_depth: Optional[int] = None    # D; defaults to max_predicts
 
+    # --- host-engine knobs ---
+    use_native_sam: bool = True  # C++ SAM engine when a toolchain is present
+
     def __post_init__(self):
         if self.max_tree_paths is None:
             self.max_tree_paths = self.max_predicts

@@ -32,7 +32,12 @@ class AdaptiveSelector:
                  static_sam: Optional[SuffixAutomaton] = None,
                  tree_drafter: Optional[Drafter] = None):
         self.config = config
-        self.dyn = SuffixAutomaton(track_text=True, track_counts=False)
+        if config.use_native_sam:
+            from ..sam.native import best_sam_class
+            dyn_cls = best_sam_class()
+        else:
+            dyn_cls = SuffixAutomaton
+        self.dyn = dyn_cls(track_text=True, track_counts=False)
         self.static = static_sam
         self.tree_drafter = tree_drafter
         if config.draft_source == "sam_hybrid" and tree_drafter is None:

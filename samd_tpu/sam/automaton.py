@@ -243,8 +243,12 @@ class SuffixAutomaton:
         (descending), truncated to `k`.  Reference ``init_topk_next``
         (/root/reference/samd_sam_only/sam/static_sam.py:137-146)."""
         occ = self._occ
+        # Deterministic tie-break: count descending, then token ascending
+        # (the reference relies on dict insertion order,
+        # /root/reference/samd_sam_only/sam/static_sam.py:140-145; a value
+        # order makes Python and C++ engines bit-identical).
         self._topk = [
-            sorted(t.items(), key=lambda kv: occ[kv[1]], reverse=True)[:k]
+            sorted(t.items(), key=lambda kv: (-occ[kv[1]], kv[0]))[:k]
             for t in self._trans
         ]
 
