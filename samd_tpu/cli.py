@@ -1,0 +1,109 @@
+"""Streaming chat CLI for the samd_tpu engine.
+
+Reference: /root/reference/samd/inference/cli.py (FastChat-based REPL).  This
+one is dependency-light: plain stdin REPL with ``!!reset`` / ``!!exit``
+commands, streaming accepted-token chunks as they commit.
+
+    python -m samd_tpu.cli --model /path/to/hf-llama [--sam corpus.npz] \
+        [--mode sam_only|sam_hybrid] [--random-model]  # smoke mode
+
+``--random-model`` runs a random-weight 1B model (no tokenizer: token-id
+REPL) for smoke testing on machines without checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_engine(args):
+    import jax
+
+    from .config import SamdConfig
+    from .drafters import make_drafter
+    from .engine import SamdEngine
+    from .models import init_params, llama_1b
+    from .sam.serialize import load_sam
+
+    static_sam = None
+    if args.sam:
+        static_sam = load_sam(args.sam, topk=8)
+
+    if args.random_model:
+        cfg = llama_1b()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        tokenizer = None
+        eos = -1
+    else:
+        from .models.loader import load_llama
+
+        cfg, params = load_llama(args.model)
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+        eos = tokenizer.eos_token_id
+
+    samd_cfg = SamdConfig(draft_source=args.mode)
+    engine = SamdEngine(
+        cfg, params, samd_cfg,
+        make_drafter(samd_cfg, cfg.vocab_size, static_sam=static_sam),
+        max_cache_len=args.max_cache_len, eos_token_id=eos)
+    return engine, tokenizer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default=None, help="HF Llama checkpoint dir")
+    p.add_argument("--sam", default=None, help="static corpus SAM (.npz)")
+    p.add_argument("--mode", default="sam_only",
+                   choices=["sam_only", "sam_hybrid"])
+    p.add_argument("--max-new-tokens", type=int, default=512)
+    p.add_argument("--max-cache-len", type=int, default=2048)
+    p.add_argument("--random-model", action="store_true")
+    args = p.parse_args()
+    if not args.random_model and not args.model:
+        p.error("--model required (or --random-model for smoke testing)")
+
+    from .config import GenerationConfig
+
+    engine, tokenizer = build_engine(args)
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                           max_cache_len=args.max_cache_len)
+    history_ids = []
+    print("samd_tpu chat — !!reset clears context, !!exit quits",
+          file=sys.stderr)
+    while True:
+        try:
+            line = input("USER> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if line.strip() == "!!exit":
+            break
+        if line.strip() == "!!reset":
+            history_ids = []
+            continue
+        if tokenizer is not None:
+            ids = history_ids + tokenizer.encode(line)
+        else:
+            try:
+                ids = history_ids + [int(x) for x in line.split()]
+            except ValueError:
+                print("(token-id mode: enter space-separated ints)",
+                      file=sys.stderr)
+                continue
+        print("ASSISTANT> ", end="", flush=True)
+        out_ids = []
+        for chunk in engine.stream_generate(ids, gen):
+            out_ids.extend(chunk)
+            if tokenizer is not None:
+                print(tokenizer.decode(chunk, skip_special_tokens=True),
+                      end="", flush=True)
+            else:
+                print(" ".join(map(str, chunk)), end=" ", flush=True)
+        print()
+        history_ids = ids + out_ids
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ near-tie argmaxes in bf16.
 from __future__ import annotations
 
 import functools
+import time
 from collections import namedtuple
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
@@ -103,6 +104,7 @@ class SamdEngine:
             b for b in prefill_buckets if b <= max_cache_len)
         self.harvest_topk = harvest_topk
         self.stats = StepStats()
+        self.profiler = None  # optionally a samd_tpu.profiling.PhaseTimer
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
         if mesh is not None:
@@ -241,10 +243,15 @@ class SamdEngine:
         accept_lens: List[int] = []
         start_token = int(next_token_dev)
 
+        prof = self.profiler
         for _ in range(gen.max_steps):
             if cache_len + M > S:
                 break
+            t0 = time.perf_counter() if prof else 0.0
             draft = self.drafter.lookup(start_token)
+            if prof:
+                prof.record("draft_lookup", time.perf_counter() - t0)
+                t0 = time.perf_counter()
             args = (self.params, self.kv_k, self.kv_v, jnp.int32(cache_len),
                     jnp.asarray(draft.packed))
             if sampling:
@@ -254,6 +261,9 @@ class SamdEngine:
                 self.kv_k, self.kv_v, pack, topk = step_fn(*args)
 
             pack = np.asarray(pack)  # single device→host fetch
+            if prof:
+                prof.record("device_step", time.perf_counter() - t0)
+                t0 = time.perf_counter()
             accept_len = int(pack[0])
             next_start = int(pack[1])
             accepted = pack[2:2 + accept_len].tolist()
@@ -264,6 +274,8 @@ class SamdEngine:
                 self.drafter.observe_verify(
                     draft.packed[0], np.asarray(topk), draft.num_nodes)
             self.stats.record(draft.source, len(accepted))
+            if prof:
+                prof.record("host_update", time.perf_counter() - t0)
 
             output.extend(accepted)
             cache_len += accept_len  # cache holds the full accepted path
