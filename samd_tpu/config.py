@@ -43,6 +43,11 @@ class SamdConfig:
     alpha: float = 4.0           # adaptive draft length = 1 + match_len * alpha
     tree_topk: int = 8           # K: frequency-tree branching / per-depth cap
 
+    # --- EAGLE-2 knobs (reference eagle2_model.py:583-629) ---
+    eagle_depth: int = 5
+    eagle_topk: int = 8
+    eagle_total_tokens: int = 63  # tree size = total_tokens + 1 (root)
+
     # --- verify-shape knobs (TPU-only: static shapes for one compiled step) ---
     max_tree_paths: Optional[int] = None    # R; defaults to max_predicts
     max_tree_depth: Optional[int] = None    # D; defaults to max_predicts

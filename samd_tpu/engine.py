@@ -123,14 +123,14 @@ class SamdEngine:
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def prefill(params, kv_k, kv_v, tokens, true_len):
             mask = prefill_mask(1, P, S)
-            logits, _, kv_k, kv_v = forward(
+            logits, hidden, kv_k, kv_v = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :],
                 kv_k, kv_v, jnp.int32(0), mask)
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
             next_token = jnp.argmax(last_logits).astype(jnp.int32)
-            return kv_k, kv_v, next_token, last_logits, topk_tok
+            return kv_k, kv_v, next_token, last_logits, topk_tok, hidden[0]
 
         return prefill
 
@@ -140,19 +140,20 @@ class SamdEngine:
         D = self.samd_cfg.max_tree_depth
         draft_tokens, tree_mask, depths, paths = unpack_draft(draft, D)
         mask = block_decode_mask(tree_mask, cache_len, S)
-        logits, _, kv_k, kv_v = forward(
+        logits, hidden, kv_k, kv_v = forward(
             params, cfg, draft_tokens[None], depths[None, :] + cache_len,
             kv_k, kv_v, cache_len, mask)
-        return logits, draft_tokens, paths, kv_k, kv_v
+        return logits, hidden, draft_tokens, paths, kv_k, kv_v
 
     def _build_decode_step(self):
         M = self.samd_cfg.max_predicts
         K = self.harvest_topk
+        return_hidden = getattr(self.drafter, "wants_hidden", False)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def decode_step(params, kv_k, kv_v, cache_len, draft):
-            logits, draft_tokens, paths, kv_k, kv_v = self._verify_core(
-                params, kv_k, kv_v, cache_len, draft)
+            logits, hidden, draft_tokens, paths, kv_k, kv_v = \
+                self._verify_core(params, kv_k, kv_v, cache_len, draft)
             res = greedy_accept(logits[0], draft_tokens, paths)
             kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M)
             kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M)
@@ -161,7 +162,11 @@ class SamdEngine:
                 res.accept_len[None], res.next_token[None],
                 res.accepted_tokens]).astype(jnp.int32)
             topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
-            return kv_k, kv_v, pack, topk_tok
+            # target hidden states along the accepted path (for EAGLE-style
+            # drafters; reference plumbs these via a patched forward,
+            # /root/reference/samd/model_patch/llama.py:114-204)
+            path_hidden = hidden[0][res.path_nodes] if return_hidden else None
+            return kv_k, kv_v, pack, topk_tok, path_hidden
 
         return decode_step
 
@@ -170,10 +175,12 @@ class SamdEngine:
         M = self.samd_cfg.max_predicts
         K = self.harvest_topk
 
+        return_hidden = getattr(self.drafter, "wants_hidden", False)
+
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def decode_step(params, kv_k, kv_v, cache_len, draft, key):
-            logits, draft_tokens, paths, kv_k, kv_v = self._verify_core(
-                params, kv_k, kv_v, cache_len, draft)
+            logits, hidden, draft_tokens, paths, kv_k, kv_v = \
+                self._verify_core(params, kv_k, kv_v, cache_len, draft)
             res = sampling_accept(
                 logits[0], draft_tokens, paths, key,
                 temperature=temperature, top_p=top_p, top_k=top_k)
@@ -183,7 +190,8 @@ class SamdEngine:
                 res.accept_len[None], res.next_token[None],
                 res.accepted_tokens]).astype(jnp.int32)
             topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
-            return kv_k, kv_v, pack, topk_tok
+            path_hidden = hidden[0][res.path_nodes] if return_hidden else None
+            return kv_k, kv_v, pack, topk_tok, path_hidden
 
         return decode_step
 
@@ -196,11 +204,11 @@ class SamdEngine:
             self._prefill_fns[P] = self._build_prefill(P)
         padded = np.zeros(P, np.int32)
         padded[:len(input_ids)] = input_ids
-        self.kv_k, self.kv_v, next_token, last_logits, topk = \
+        self.kv_k, self.kv_v, next_token, last_logits, topk, hidden = \
             self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
                                  jnp.asarray(padded),
                                  jnp.int32(len(input_ids)))
-        return next_token, last_logits, topk
+        return next_token, last_logits, topk, hidden
 
     def _truncate_at_stop(self, accepted: List[int]):
         for stop in (self.eos_token_id, self.stop_token_id):
@@ -215,12 +223,15 @@ class SamdEngine:
         M = self.samd_cfg.max_predicts
         S = min(self.max_cache_len, gen.max_cache_len)
         wants_harvest = getattr(self.drafter, "wants_harvest", False)
+        wants_hidden = getattr(self.drafter, "wants_hidden", False)
 
         self.drafter.reset()
-        next_token_dev, last_logits, topk = self._prefill(input_ids)
+        next_token_dev, last_logits, topk, hidden = self._prefill(input_ids)
         self.drafter.observe_prompt(
             input_ids,
             np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
+        if wants_hidden:
+            self.drafter.observe_prompt_hidden(input_ids, hidden)
 
         sampling = not gen.greedy
         if sampling:
@@ -256,9 +267,10 @@ class SamdEngine:
                     jnp.asarray(draft.packed))
             if sampling:
                 key, sub = jax.random.split(key)
-                self.kv_k, self.kv_v, pack, topk = step_fn(*args, sub)
+                self.kv_k, self.kv_v, pack, topk, path_hidden = \
+                    step_fn(*args, sub)
             else:
-                self.kv_k, self.kv_v, pack, topk = step_fn(*args)
+                self.kv_k, self.kv_v, pack, topk, path_hidden = step_fn(*args)
 
             pack = np.asarray(pack)  # single device→host fetch
             if prof:
@@ -272,7 +284,11 @@ class SamdEngine:
             self.drafter.observe_accepted(accepted)
             if wants_harvest:
                 self.drafter.observe_verify(
-                    draft.packed[0], np.asarray(topk), draft.num_nodes)
+                    np.asarray(draft.packed[0]), np.asarray(topk),
+                    draft.num_nodes)
+            if wants_hidden:
+                self.drafter.observe_step_hidden(accepted, path_hidden,
+                                                 len(accepted))
             self.stats.record(draft.source, len(accepted))
             if prof:
                 prof.record("host_update", time.perf_counter() - t0)
@@ -298,11 +314,14 @@ class SamdEngine:
         M = self.samd_cfg.max_predicts
         S = min(self.max_cache_len, gen.max_cache_len)
         wants_harvest = getattr(self.drafter, "wants_harvest", False)
+        wants_hidden = getattr(self.drafter, "wants_hidden", False)
         self.drafter.reset()
-        next_token_dev, _, topk = self._prefill(input_ids)
+        next_token_dev, _, topk, hidden = self._prefill(input_ids)
         self.drafter.observe_prompt(
             input_ids,
             np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
+        if wants_hidden:
+            self.drafter.observe_prompt_hidden(input_ids, hidden)
         cache_len = len(input_ids)
         decode_tokens = 0
         start_token = int(next_token_dev)
@@ -310,7 +329,7 @@ class SamdEngine:
             if cache_len + M > S:
                 break
             draft = self.drafter.lookup(start_token)
-            self.kv_k, self.kv_v, pack, topk = self._decode_fn(
+            self.kv_k, self.kv_v, pack, topk, path_hidden = self._decode_fn(
                 self.params, self.kv_k, self.kv_v, jnp.int32(cache_len),
                 jnp.asarray(draft.packed))
             pack = np.asarray(pack)
@@ -320,7 +339,11 @@ class SamdEngine:
             self.drafter.observe_accepted(accepted)
             if wants_harvest:
                 self.drafter.observe_verify(
-                    draft.packed[0], np.asarray(topk), draft.num_nodes)
+                    np.asarray(draft.packed[0]), np.asarray(topk),
+                    draft.num_nodes)
+            if wants_hidden:
+                self.drafter.observe_step_hidden(accepted, path_hidden,
+                                                 len(accepted))
             cache_len += accept_len
             decode_tokens += len(accepted)
             yield accepted
