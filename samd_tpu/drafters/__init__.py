@@ -42,6 +42,13 @@ def make_drafter(samd_cfg, vocab_size, *, static_sam=None, model_cfg=None,
 
             tree_drafter = make_eagle2(model_cfg, params, samd_cfg,
                                        net_params=eagle_net_params)
+        elif samd_cfg.tree_method == "eagle":
+            if model_cfg is None or params is None:
+                raise ValueError("eagle needs model_cfg and params")
+            from .eagle.eagle1 import make_eagle1
+
+            tree_drafter = make_eagle1(model_cfg, params, samd_cfg,
+                                       net_params=eagle_net_params)
         else:
             raise NotImplementedError(
                 f"tree_method {samd_cfg.tree_method!r} not yet wired")

@@ -108,3 +108,29 @@ def test_hybrid_eagle2_engine_equality(setup):
         out = engine.generate(p, gen)
         assert out.output_ids == ref.output_ids, f"seed {seed}"
     assert "eagle2" in engine.stats.source_counts
+
+
+def test_eagle1_static_tree_equality(setup):
+    cfg, params = setup
+    from samd_tpu.drafters.eagle.eagle1 import make_eagle1
+    from samd_tpu.drafters.sam_drafter import AdaptiveSelector
+
+    samd_cfg = SamdConfig(draft_source="sam_hybrid", tree_method="eagle",
+                          max_predicts=30, n_predicts=12,
+                          len_threshold=5, len_bias=5)
+    e1 = make_eagle1(cfg, params, samd_cfg)
+    # levels contiguous after relabeling
+    depths = e1.node_depths
+    assert (np.diff(depths) >= 0).all()
+    sel = AdaptiveSelector(samd_cfg, tree_drafter=e1)
+    engine = SamdEngine(cfg, params, samd_cfg, sel, max_cache_len=256,
+                        eos_token_id=-1, prefill_buckets=(32,))
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,))
+    gen = GenerationConfig(max_new_tokens=32, max_cache_len=256)
+    rng = np.random.default_rng(1)
+    p = rng.integers(3, 128, size=16).tolist()
+    ref = ar.generate(p, gen)
+    out = engine.generate(p, gen)
+    assert out.output_ids == ref.output_ids
+    assert "eagle" in engine.stats.source_counts
