@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import QuantizedTensor, qmatmul
 from .configs import ModelConfig
 
 Params = Dict[str, object]
@@ -150,26 +151,31 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = carry
         lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = (x @ lp["wq"]).reshape(B, T, NH, D)
-        k = (x @ lp["wk"]).reshape(B, T, KH, D)
-        v = (x @ lp["wv"]).reshape(B, T, KH, D)
+        q = qmatmul(x, lp["wq"]).reshape(B, T, NH, D)
+        k = qmatmul(x, lp["wk"]).reshape(B, T, KH, D)
+        v = qmatmul(x, lp["wv"]).reshape(B, T, KH, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, k.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
-        attn_out = _attention(q, k_cache, v_cache, attn_mask, cfg) @ lp["wo"]
+        attn_out = qmatmul(_attention(q, k_cache, v_cache, attn_mask, cfg),
+                           lp["wo"])
         h = h + attn_out
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
-        h = h + gated @ lp["w_down"]
+        gated = jax.nn.silu(qmatmul(x, lp["w_gate"])) * qmatmul(x, lp["w_up"])
+        h = h + qmatmul(gated, lp["w_down"])
         return h, (k_cache, v_cache)
 
     h, (kv_k, kv_v) = jax.lax.scan(layer_step, h, (params["layers"], kv_k, kv_v))
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+    if isinstance(head, QuantizedTensor):
+        logits = jnp.dot(h, head.q.astype(h.dtype),
+                         preferred_element_type=jnp.float32) * head.scale
+    else:
+        logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
     return logits, h, kv_k, kv_v
 
 

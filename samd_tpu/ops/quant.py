@@ -1,0 +1,84 @@
+"""Weight-only quantization for serving (INT8 per-channel symmetric).
+
+The reference serves fp16 only (SURVEY.md §2.5); the BASELINE north star asks
+for INT8/FP8 weight-only matmuls so weights+cache fit more chips-worth of
+model per host.  Design:
+
+  * Weights quantize per output channel: ``q[in, out] int8``,
+    ``scale[out] f32``; activations stay bf16.  At matmul time XLA fuses the
+    int8→bf16 convert into the dot, so HBM weight traffic halves — on
+    memory-bound decode steps that is the dominant cost.
+  * A ``QuantizedTensor`` pytree stands in for the weight array; the model's
+    matmul helper dispatches on it, so one forward serves both precisions
+    (and scan-stacked layers quantize along the leading axis transparently).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantizedTensor:
+    """int8 values + per-output-channel scales for a [in, out]-style weight
+    (optionally with leading stacked-layer axes)."""
+
+    q: jax.Array       # int8, same shape as the original weight
+    scale: jax.Array   # f32, original shape minus the contraction axis
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def quantize_weight(w: jax.Array, *, axis: int = -2) -> QuantizedTensor:
+    """Symmetric per-channel int8 quantization; `axis` is the contraction
+    (input-feature) axis reduced when computing scales."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -127, 127
+                 ).astype(jnp.int8)
+    return QuantizedTensor(q=q, scale=jnp.squeeze(scale, axis=axis))
+
+
+def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
+    """x @ w with transparent weight-only dequantization."""
+    if isinstance(w, QuantizedTensor):
+        y = jnp.dot(x, w.q.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w.scale).astype(x.dtype)
+    return x @ w
+
+
+def quantize_llama_params(params: dict) -> dict:
+    """Quantize the large projection matrices of a samd_tpu Llama param
+    pytree (embed and norms stay high precision).  Works on scan-stacked
+    layers: weights are [L, in, out], scales become [L, out]."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        layers[name] = quantize_weight(layers[name], axis=-2)
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"] = quantize_weight(params["lm_head"], axis=-2)
+    return out
+
+
+def quantized_bytes(params) -> int:
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

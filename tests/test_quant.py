@@ -1,0 +1,72 @@
+"""INT8 weight-only quantization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from samd_tpu.config import GenerationConfig, SamdConfig
+from samd_tpu.drafters import make_drafter
+from samd_tpu.engine import ArBaseline, SamdEngine
+from samd_tpu.models import init_params, tiny_config
+from samd_tpu.ops.quant import (
+    QuantizedTensor,
+    qmatmul,
+    quantize_llama_params,
+    quantize_weight,
+    quantized_bytes,
+)
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    qt = quantize_weight(w)
+    assert qt.q.dtype == jnp.int8
+    assert qt.scale.shape == (32,)
+    deq = qt.q.astype(jnp.float32) * qt.scale
+    err = jnp.abs(deq - w).max() / jnp.abs(w).max()
+    assert float(err) < 0.01  # ~1/127 relative
+
+
+def test_qmatmul_close_to_full_precision():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (8, 64))
+    w = jax.random.normal(k2, (64, 32))
+    full = x @ w
+    quant = qmatmul(x, quantize_weight(w))
+    rel = jnp.abs(quant - full).max() / jnp.abs(full).max()
+    assert float(rel) < 0.05
+
+
+def test_param_size_reduction():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_llama_params(params)
+    assert quantized_bytes(qparams) < 0.45 * quantized_bytes(params)
+    # stacked layers keep the leading axis
+    assert qparams["layers"]["wq"].q.shape == params["layers"]["wq"].shape
+    assert qparams["layers"]["wq"].scale.shape == (
+        cfg.num_layers, cfg.num_heads * cfg.head_dim)
+
+
+def test_quantized_engine_lossless_vs_quantized_ar():
+    """Speculative decoding with int8 weights must equal the int8 AR
+    baseline (losslessness holds at any weight precision)."""
+    cfg = tiny_config(vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    qparams = quantize_llama_params(params)
+    gen = GenerationConfig(max_new_tokens=32, max_cache_len=256)
+    prompt = np.random.default_rng(0).integers(3, 128, size=16).tolist()
+
+    ar = ArBaseline(cfg, qparams, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,))
+    ref = ar.generate(prompt, gen)
+
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=8, len_bias=0)
+    engine = SamdEngine(cfg, qparams, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size),
+                        max_cache_len=256, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    out = engine.generate(prompt, gen)
+    assert out.output_ids == ref.output_ids
