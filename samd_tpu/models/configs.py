@@ -28,6 +28,11 @@ class ModelConfig:
     max_position_embeddings: int = 4096
     tie_embeddings: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # attention implementation for decode/verify blocks:
+    #   "xla"             – plain dot-product attention over the full cache
+    #   "flash"           – Pallas flash kernel streaming only live KV blocks
+    #   "flash_interpret" – same kernel in interpreter mode (CPU tests)
+    attention_impl: str = "xla"
 
     @property
     def kv_groups(self) -> int:

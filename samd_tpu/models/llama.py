@@ -160,8 +160,15 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             k_cache, k.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
-        attn_out = qmatmul(_attention(q, k_cache, v_cache, attn_mask, cfg),
-                           lp["wo"])
+        if cfg.attention_impl in ("flash", "flash_interpret") and B == 1:
+            from ..ops.pallas_attention import flash_block_attention
+
+            ctx = flash_block_attention(
+                q, k_cache, v_cache, attn_mask, write_offset + T,
+                interpret=cfg.attention_impl == "flash_interpret")
+        else:
+            ctx = _attention(q, k_cache, v_cache, attn_mask, cfg)
+        attn_out = qmatmul(ctx, lp["wo"])
         h = h + attn_out
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
         gated = jax.nn.silu(qmatmul(x, lp["w_gate"])) * qmatmul(x, lp["w_up"])
