@@ -44,13 +44,23 @@ def timed_generate(engine, prompts, gen):
 def main():
     import jax
 
+    # Persistent compile cache: first-time XLA program loads through the
+    # remote-compile tunnel can stall minutes; cache them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/samd_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from samd_tpu.config import GenerationConfig, SamdConfig
     from samd_tpu.drafters import make_drafter
     from samd_tpu.engine import ArBaseline, SamdEngine
     from samd_tpu.models import init_params, llama_1b, param_count
     from samd_tpu.sam import build_corpus_sam
 
+    import dataclasses
+
     log(f"devices: {jax.devices()}")
+    # attention_impl="xla": the fused XLA attention beats the standalone
+    # Pallas kernel end-to-end at this scale (per-layer KV transpose +
+    # kernel launch overhead exceed the dead-tail savings for a 1B model).
     cfg = llama_1b()
     params = init_params(cfg, jax.random.PRNGKey(0))
     log(f"model: {param_count(params) / 1e9:.2f}B params, dtype={cfg.dtype}")
@@ -115,6 +125,29 @@ def main():
     log(f"output equality vs block-AR oracle: "
         f"{len(oracle_outs) - mismatches}/{len(oracle_outs)}")
 
+    # --- SAM-Decoding[Token Recycle] hybrid (reference scripts/
+    #     inference_samd.sh: n_predicts=40 len_threshold=5 len_bias=5) -------
+    tr_cfg = SamdConfig(draft_source="sam_hybrid", max_predicts=M,
+                        n_predicts=40, len_threshold=5, len_bias=5,
+                        tree_method="token_recycle")
+    tr_engine = SamdEngine(cfg, params,
+                           tr_cfg,
+                           make_drafter(tr_cfg, cfg.vocab_size,
+                                        static_sam=static_sam),
+                           max_cache_len=MAX_CACHE, eos_token_id=-1,
+                           prefill_buckets=(128,))
+    log("token-recycle hybrid warmup/compile...")
+    tr_engine.generate(prompts[0][:64] + prompts[0][:32],
+                       GenerationConfig(max_new_tokens=8,
+                                        max_cache_len=MAX_CACHE))
+    tr_outs, tr_tok, tr_steps, tr_dt = timed_generate(
+        tr_engine, overlap_prompts + fresh_prompts, gen)
+    tr_tps = tr_tok / tr_dt
+    tr_equal = sum(int(a == b) for a, b in zip(oracle_outs, tr_outs))
+    log(f"samd[token_recycle]: {tr_tps:.1f} tok/s, "
+        f"accept {tr_tok / max(tr_steps, 1):.2f}, equal {tr_equal}/4, "
+        f"sources {tr_engine.stats.source_counts}")
+
     speedup = samd_tps / ar_tps
     result = {
         "metric": "specbench_style_speedup_sam_only_vs_own_ar",
@@ -126,7 +159,11 @@ def main():
             "samd_tokens_per_s": round(samd_tps, 2),
             "mean_accepted_tokens": round(mean_accept, 3),
             "greedy_outputs_equal": mismatches == 0,
+            "token_recycle_hybrid_speedup": round(tr_tps / ar_tps, 4),
+            "token_recycle_mean_accept": round(tr_tok / max(tr_steps, 1), 3),
+            "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
             "model": "llama-1b-random-bf16",
+            "attention": "xla",
             "prompts": 2 * N_PROMPTS,
             "new_tokens_each": NEW_TOKENS,
         },

@@ -75,20 +75,31 @@ class TokenRecycleDrafter:
         self.harvest(block_tokens[:num_nodes], block_topk[:num_nodes])
 
     def lookup(self, start_token: int) -> Draft:
-        tokens = self.fill_tree(start_token)
-        packed = self._packed.copy()
-        packed[0, :self.num_nodes] = tokens
-        return Draft(packed=packed, num_nodes=self.num_nodes,
+        tokens, parents = self.fill_tree(start_token)
+        packed = pack_draft_host(tokens, parents, self._packed.shape[1])
+        return Draft(packed=packed, num_nodes=len(tokens),
                      source="token_recycle")
 
-    def fill_tree(self, start_token: int) -> np.ndarray:
-        tokens = np.zeros(self.num_nodes, dtype=np.int32)
-        tokens[0] = start_token
+    def fill_tree(self, start_token: int):
+        """Fill the static topology with harvested predictions, PRUNING
+        subtrees under tokens with no harvest.  (The reference leaves such
+        nodes as token 0, /root/reference/samd/tree_model/token_recycle/
+        token_recycle.py:50-60 — wasted verify slots, and the duplicate
+        0-token paths create accept-length ties whose bf16 tie-breaking can
+        diverge from the AR baseline.)"""
+        tokens = [start_token]
+        parents = [-1]
+        node_map = {0: 0}  # topology node -> emitted index
         for node in range(self.num_nodes):
-            tok = tokens[node]
+            emitted = node_map.get(node)
+            if emitted is None:
+                continue
+            tok = tokens[emitted]
             if not self._seen[tok]:
                 continue
             preds = self._cache[tok]
             for rank, child in enumerate(self.children[node]):
-                tokens[child] = preds[rank]
-        return tokens
+                node_map[child] = len(tokens)
+                tokens.append(int(preds[rank]))
+                parents.append(emitted)
+        return np.asarray(tokens, np.int32), np.asarray(parents, np.int32)
