@@ -187,6 +187,16 @@ void sam_peek(const Sam* s, int32_t token, int32_t* out_state,
   *out_length = ln;
 }
 
+// Stateless cursor walk (for shared automata with per-request cursors):
+// advances (state, length) over n tokens without touching internal state.
+void sam_match(const Sam* s, int32_t state, int32_t length,
+               const int32_t* tokens, int64_t n, int32_t* out_state,
+               int32_t* out_length) {
+  for (int64_t i = 0; i < n; ++i) s->match_step(state, length, tokens[i]);
+  *out_state = state;
+  *out_length = length;
+}
+
 // Sequence draft: [start_token] + continuation after the state's first
 // occurrence; optional suffix-link widening and zero-padding (hybrid mode).
 // Returns the number of tokens written (<= n_predicts).

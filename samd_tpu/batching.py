@@ -1,0 +1,247 @@
+"""Continuous batching: serve many requests through one batched decode step.
+
+The reference hard-asserts batch size 1 (/root/reference/samd/samd_model.py:240);
+here a ``BatchedSamdEngine`` owns B cache slots and steps all active requests
+together:
+
+  * the batched jitted step takes per-request drafts ``[B, 2, M]`` and cache
+    offsets ``[B]`` — buffer derivation, forward (per-request KV offsets via a
+    vmapped in-place write), acceptance and KV compaction are all vmapped over
+    the slot axis inside one program;
+  * each request keeps its own host drafter (SAM cursors are per-request
+    state; the corpus SAM is shared through per-request cursor objects);
+  * when a request finishes, its slot is re-prefilled from the queue
+    (continuous batching; prefill briefly pauses decode, v1 semantics).
+
+Inactive slots run a 1-node pad draft whose writes land beyond their committed
+length — masked everywhere, so they cost only the (already-paid) batch FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GenerationConfig, SamdConfig
+from .drafters.base import Drafter
+from .engine import HARVEST_TOPK, Outputs, StepStats, _bucket
+from .models.configs import ModelConfig
+from .models.llama import Params, block_decode_mask, forward, prefill_mask
+from .ops.treeops import pack_draft_host, unpack_draft
+from .verify import greedy_accept
+
+
+@dataclass
+class _Slot:
+    request_id: Optional[int] = None
+    drafter: Optional[Drafter] = None
+    cache_len: int = 0
+    start_token: int = 0
+    prompt_len: int = 0
+    output: List[int] = field(default_factory=list)
+    decode_tokens: int = 0
+    decode_steps: int = 0
+    accept_lens: List[int] = field(default_factory=list)
+    max_new_tokens: int = 0
+
+    @property
+    def active(self) -> bool:
+        return self.request_id is not None
+
+
+class BatchedSamdEngine:
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 samd_cfg: SamdConfig,
+                 drafter_factory: Callable[[], Drafter], *,
+                 batch_size: int = 4,
+                 max_cache_len: int = 2048,
+                 eos_token_id: int = 2,
+                 stop_token_id: Optional[int] = None,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.samd_cfg = samd_cfg
+        self.drafter_factory = drafter_factory
+        self.B = batch_size
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.stop_token_id = stop_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+        self.stats = StepStats()
+
+        from .cache import init_kv_cache
+
+        self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
+                                             max_cache_len)
+        self.slots = [_Slot() for _ in range(batch_size)]
+        self.queue: List[tuple] = []
+        self.results: Dict[int, Outputs] = {}
+        self._next_id = 0
+        self._decode_fn = self._build_decode_step()
+        self._prefill_fns: Dict[int, callable] = {}
+        self._pad_draft = pack_draft_host([0], [-1], samd_cfg.max_predicts)
+
+    # ------------------------------------------------------------------
+    def _build_decode_step(self):
+        cfg, S = self.model_cfg, self.S
+        M = self.samd_cfg.max_predicts
+        D = self.samd_cfg.max_tree_depth
+        K = HARVEST_TOPK
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(params, kv_k, kv_v, cache_lens, drafts):
+            # drafts: [B, 2, M]; cache_lens: [B]
+            tokens, tree_mask, depths, paths = jax.vmap(
+                lambda d: unpack_draft(d, D))(drafts)
+            mask = jax.vmap(
+                lambda tm, cl: block_decode_mask(tm, cl, S)[0]
+            )(tree_mask, cache_lens)                      # [B, M, S]
+            pos = depths + cache_lens[:, None]
+            logits, _, kv_k, kv_v = forward(
+                params, cfg, tokens, pos, kv_k, kv_v, cache_lens, mask)
+            res = jax.vmap(greedy_accept)(logits, tokens, paths)
+
+            # per-slot KV compaction (vmapped gather over the draft block)
+            def compact(kv):
+                def one(kv_b, off, idx):  # kv_b: [L, KH, S, D']
+                    blk = jax.lax.dynamic_slice(
+                        kv_b, (0, 0, off, 0),
+                        (kv_b.shape[0], kv_b.shape[1], M, kv_b.shape[3]))
+                    sel = jnp.take(blk, idx, axis=2)
+                    return jax.lax.dynamic_update_slice(
+                        kv_b, sel, (0, 0, off, 0))
+                return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(
+                    kv, cache_lens, res.path_nodes)
+
+            kv_k = compact(kv_k)
+            kv_v = compact(kv_v)
+            pack = jnp.concatenate([
+                res.accept_len[:, None], res.next_token[:, None],
+                res.accepted_tokens], axis=1).astype(jnp.int32)  # [B, D+2]
+            topk_tok = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+            return kv_k, kv_v, pack, topk_tok
+
+        return step
+
+    def _build_prefill(self, P: int):
+        cfg, S, K = self.model_cfg, self.S, HARVEST_TOPK
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, kv_k, kv_v, tokens, true_len, slot):
+            from .cache import init_kv_cache
+
+            fk, fv = init_kv_cache(cfg, 1, S)
+            logits, hidden, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, S))
+            kv_k = jax.lax.dynamic_update_slice(kv_k, fk, (0, slot, 0, 0, 0))
+            kv_v = jax.lax.dynamic_update_slice(kv_v, fv, (0, slot, 0, 0, 0))
+            last_logits = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1, axis=0, keepdims=False)
+            next_token = jnp.argmax(last_logits).astype(jnp.int32)
+            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            return kv_k, kv_v, next_token, topk_tok
+
+        return prefill
+
+    # ------------------------------------------------------------------
+    def add_request(self, input_ids: Sequence[int],
+                    gen_config: Optional[GenerationConfig] = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append((rid, list(input_ids),
+                           gen_config or GenerationConfig()))
+        return rid
+
+    def _admit(self) -> None:
+        for slot_idx, slot in enumerate(self.slots):
+            if slot.active or not self.queue:
+                continue
+            rid, input_ids, gen = self.queue.pop(0)
+            P = _bucket(len(input_ids), self.prefill_buckets)
+            if P not in self._prefill_fns:
+                self._prefill_fns[P] = self._build_prefill(P)
+            padded = np.zeros(P, np.int32)
+            padded[:len(input_ids)] = input_ids
+            self.kv_k, self.kv_v, next_token, topk = self._prefill_fns[P](
+                self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
+                jnp.int32(len(input_ids)), jnp.int32(slot_idx))
+            drafter = self.drafter_factory()
+            drafter.reset()
+            wants_harvest = getattr(drafter, "wants_harvest", False)
+            drafter.observe_prompt(
+                input_ids,
+                np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
+            self.slots[slot_idx] = _Slot(
+                request_id=rid, drafter=drafter,
+                cache_len=len(input_ids), start_token=int(next_token),
+                prompt_len=len(input_ids), output=list(input_ids),
+                max_new_tokens=gen.max_new_tokens)
+
+    def _finish(self, slot_idx: int) -> None:
+        s = self.slots[slot_idx]
+        out = s.output[:s.prompt_len + s.max_new_tokens]
+        self.results[s.request_id] = Outputs(
+            out, s.decode_tokens, s.decode_steps, s.accept_lens)
+        self.slots[slot_idx] = _Slot()
+
+    def _step(self) -> None:
+        M = self.samd_cfg.max_predicts
+        drafts = np.zeros((self.B, 2, M), np.int32)
+        metas = []
+        for i, s in enumerate(self.slots):
+            if s.active and s.cache_len + M <= self.S:
+                d = s.drafter.lookup(s.start_token)
+                drafts[i] = np.asarray(d.packed)
+                metas.append((i, d))
+            else:
+                drafts[i] = self._pad_draft
+                if s.active:
+                    self._finish(i)  # out of cache: finish what we have
+        if not metas:
+            return
+        cache_lens = np.asarray([s.cache_len for s in self.slots], np.int32)
+        self.kv_k, self.kv_v, pack, topk = self._decode_fn(
+            self.params, self.kv_k, self.kv_v, jnp.asarray(cache_lens),
+            jnp.asarray(drafts))
+        pack = np.asarray(pack)
+        topk_np = None
+        for i, d in metas:
+            s = self.slots[i]
+            accept_len = int(pack[i, 0])
+            accepted = pack[i, 2:2 + accept_len].tolist()
+            eos_hit = False
+            for stop in (self.eos_token_id, self.stop_token_id):
+                if stop is not None and stop in accepted:
+                    accepted = accepted[:accepted.index(stop) + 1]
+                    eos_hit = True
+                    break
+            s.drafter.observe_accepted(accepted)
+            if getattr(s.drafter, "wants_harvest", False):
+                if topk_np is None:
+                    topk_np = np.asarray(topk)
+                s.drafter.observe_verify(drafts[i, 0], topk_np[i],
+                                         d.num_nodes)
+            self.stats.record(d.source, len(accepted))
+            s.output.extend(accepted)
+            s.cache_len += accept_len
+            s.decode_steps += 1
+            s.decode_tokens += len(accepted)
+            s.accept_lens.append(len(accepted))
+            s.start_token = int(pack[i, 1])
+            if eos_hit or s.decode_tokens >= s.max_new_tokens:
+                self._finish(i)
+
+    def run(self) -> Dict[int, Outputs]:
+        """Process the queue to completion; returns request_id → Outputs."""
+        while self.queue or any(s.active for s in self.slots):
+            self._admit()
+            self._step()
+        out, self.results = self.results, {}
+        return out

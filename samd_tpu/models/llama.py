@@ -130,7 +130,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
       tokens:       [B, T] int32
       position_ids: [B, T] int32 (RoPE positions)
       kv_k, kv_v:   [L, B, KH, S, D] cache (donated by jitted callers)
-      write_offset: scalar int32 — cache slot of the block's first token
+      write_offset: scalar int32, or [B] int32 for per-request offsets
+                    (continuous batching) — cache slot of the block's first
+                    token
       attn_mask:    [B, T, S] bool — True where attention is allowed; callers
                     must allow the block's own freshly-written slots
                     [offset, offset+T) per their draft-tree structure.
@@ -147,6 +149,17 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     h = params["embed"][tokens]  # [B,T,H] in cfg.dtype
     cos, sin = rope_tables(position_ids, D, cfg.rope_theta)
 
+    write_offset = jnp.asarray(write_offset)
+    if write_offset.ndim == 0:
+        def write_kv(cache, block):  # cache [B,KH,S,D], block [B,KH,T,D]
+            return jax.lax.dynamic_update_slice(
+                cache, block, (0, 0, write_offset, 0))
+    else:
+        def write_kv(cache, block):
+            return jax.vmap(
+                lambda c, u, o: jax.lax.dynamic_update_slice(c, u, (0, o, 0))
+            )(cache, block, write_offset)
+
     def layer_step(carry, xs):
         h = carry
         lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
@@ -156,11 +169,10 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         v = qmatmul(x, lp["wv"]).reshape(B, T, KH, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
-        if cfg.attention_impl in ("flash", "flash_interpret") and B == 1:
+        k_cache = write_kv(k_cache, k.transpose(0, 2, 1, 3))
+        v_cache = write_kv(v_cache, v.transpose(0, 2, 1, 3))
+        if cfg.attention_impl in ("flash", "flash_interpret") and B == 1 \
+                and write_offset.ndim == 0:
             from ..ops.pallas_attention import flash_block_attention
 
             ctx = flash_block_attention(

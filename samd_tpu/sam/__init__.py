@@ -1,4 +1,4 @@
-from .automaton import SuffixAutomaton, build_corpus_sam
+from .automaton import SamCursor, SuffixAutomaton, build_corpus_sam
 from .serialize import load_sam, save_sam, to_arrays, from_arrays
 from .trees import (
     TreeBuffers,
@@ -13,6 +13,7 @@ from .trees import (
 
 __all__ = [
     "SuffixAutomaton",
+    "SamCursor",
     "build_corpus_sam",
     "load_sam",
     "save_sam",

@@ -326,6 +326,53 @@ class SuffixAutomaton:
                 self.feed([eos_token], grow=True)
 
 
+class SamCursor:
+    """Per-request cursor over a shared (read-only) automaton.
+
+    Continuous batching runs many requests against ONE corpus SAM; the
+    automaton index is immutable at serving time, only the match cursor is
+    per-request.  Duck-types the cursor/drafting subset of SuffixAutomaton
+    that AdaptiveSelector uses (works over both the Python and C++ engines —
+    both expose a stateless ``match_step``)."""
+
+    def __init__(self, sam):
+        self.sam = sam
+        self.cur_state = ROOT
+        self.cur_length = 0
+
+    def reset_cursor(self) -> None:
+        self.cur_state = ROOT
+        self.cur_length = 0
+
+    def peek(self, token: int) -> Tuple[int, int]:
+        return self.sam.match_step(self.cur_state, self.cur_length, token)
+
+    def advance_cursor(self, token: int) -> None:
+        self.cur_state, self.cur_length = self.sam.match_step(
+            self.cur_state, self.cur_length, token)
+
+    def feed(self, tokens: Sequence[int], *, grow: bool) -> None:
+        if grow:
+            raise ValueError("SamCursor is read-only; cannot grow the index")
+        for t in tokens:
+            self.advance_cursor(t)
+
+    def sequence_draft(self, state, start_token, n_predicts, *, widen=False,
+                       pad=False):
+        return self.sam.sequence_draft(state, start_token, n_predicts,
+                                       widen=widen, pad=pad)
+
+    def tree_draft(self, state, start_token, n_nodes, k):
+        return self.sam.tree_draft(state, start_token, n_nodes, k)
+
+    def finalize_topk(self, k: int = 8) -> None:
+        self.sam.finalize_topk(k)
+
+    @property
+    def _topk(self):
+        return self.sam._topk
+
+
 def build_corpus_sam(sequences: Sequence[Sequence[int]], eos_token: int,
                      *, topk: int = 8) -> SuffixAutomaton:
     """Build a static corpus SAM with occurrence counts and top-k tables."""

@@ -66,6 +66,9 @@ def load_library():
         lib.sam_reset.argtypes = [ctypes.c_void_p]
         lib.sam_cursor.argtypes = [ctypes.c_void_p, I32, I32]
         lib.sam_peek.argtypes = [ctypes.c_void_p, ctypes.c_int32, I32, I32]
+        lib.sam_match.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                  ctypes.c_int32, I32, ctypes.c_int64,
+                                  I32, I32]
         lib.sam_sequence_draft.restype = ctypes.c_int32
         lib.sam_sequence_draft.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -150,6 +153,14 @@ class NativeSuffixAutomaton:
     def peek(self, token: int) -> Tuple[int, int]:
         s, l = ctypes.c_int32(), ctypes.c_int32()
         self._lib.sam_peek(self._h, token, ctypes.byref(s), ctypes.byref(l))
+        return s.value, l.value
+
+    def match_step(self, state: int, length: int, token: int) -> Tuple[int, int]:
+        """Stateless walk (SamCursor support)."""
+        arr = np.asarray([token], dtype=np.int32)
+        s, l = ctypes.c_int32(), ctypes.c_int32()
+        self._lib.sam_match(self._h, state, length, _ptr(arr, I32), 1,
+                            ctypes.byref(s), ctypes.byref(l))
         return s.value, l.value
 
     def reset_cursor(self) -> None:

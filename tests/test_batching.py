@@ -1,0 +1,112 @@
+"""Continuous-batching tests: batched engine equality vs single-request runs,
+slot reuse, shared-corpus cursors."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from samd_tpu.batching import BatchedSamdEngine
+from samd_tpu.config import GenerationConfig, SamdConfig
+from samd_tpu.drafters import make_drafter
+from samd_tpu.engine import SamdEngine
+from samd_tpu.models import init_params, tiny_config
+from samd_tpu.sam import SamCursor, build_corpus_sam
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=8, len_bias=0)
+    return cfg, params, samd_cfg
+
+
+def prompts(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(3, 128, size=int(rng.integers(10, 24))).tolist()
+            for _ in range(n)]
+
+
+def test_batched_matches_single(setup):
+    cfg, params, samd_cfg = setup
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=128)
+    ps = prompts(5, seed=1)
+
+    single = SamdEngine(cfg, params, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size),
+                        max_cache_len=128, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    expected = [single.generate(p, gen) for p in ps]
+
+    batched = BatchedSamdEngine(
+        cfg, params, samd_cfg,
+        lambda: make_drafter(samd_cfg, cfg.vocab_size),
+        batch_size=2, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,))
+    ids = [batched.add_request(p, gen) for p in ps]
+    results = batched.run()
+    assert set(results) == set(ids)
+    for rid, p, exp in zip(ids, ps, expected):
+        got = results[rid]
+        assert got.output_ids == exp.output_ids, f"request {rid}"
+        assert got.decode_tokens == exp.decode_tokens
+        assert got.accept_length_per_step == exp.accept_length_per_step
+
+
+def test_shared_corpus_cursors(setup):
+    cfg, params, samd_cfg = setup
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=128)
+    ps = prompts(4, seed=2)
+
+    # corpus shared across requests via per-request SamCursor views
+    single0 = SamdEngine(cfg, params, samd_cfg,
+                         make_drafter(samd_cfg, cfg.vocab_size),
+                         max_cache_len=128, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    corpus = [single0.generate(p, gen).output_ids for p in ps[:2]]
+    sam = build_corpus_sam(corpus, eos_token=0, topk=8)
+
+    def factory():
+        return make_drafter(samd_cfg, cfg.vocab_size,
+                            static_sam=SamCursor(sam))
+
+    single = SamdEngine(cfg, params, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size,
+                                     static_sam=SamCursor(sam)),
+                        max_cache_len=128, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    expected = [single.generate(p, gen) for p in ps]
+
+    batched = BatchedSamdEngine(
+        cfg, params, samd_cfg, factory,
+        batch_size=3, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,))
+    ids = [batched.add_request(p, gen) for p in ps]
+    results = batched.run()
+    for rid, exp in zip(ids, expected):
+        assert results[rid].output_ids == exp.output_ids
+    # corpus drafts were actually used somewhere
+    assert batched.stats.source_counts.get("sam_static", 0) + \
+        batched.stats.source_counts.get("sam_dyn", 0) > 0
+
+
+def test_staggered_admission(setup):
+    """More requests than slots: slots are reused as requests finish."""
+    cfg, params, samd_cfg = setup
+    gen_short = GenerationConfig(max_new_tokens=8, max_cache_len=128)
+    gen_long = GenerationConfig(max_new_tokens=24, max_cache_len=128)
+    ps = prompts(4, seed=3)
+    batched = BatchedSamdEngine(
+        cfg, params, samd_cfg,
+        lambda: make_drafter(samd_cfg, cfg.vocab_size),
+        batch_size=2, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,))
+    ids = []
+    for i, p in enumerate(ps):
+        ids.append(batched.add_request(p, gen_short if i % 2 else gen_long))
+    results = batched.run()
+    assert len(results) == 4
+    for i, rid in enumerate(ids):
+        expect = 8 if i % 2 else 24
+        assert results[rid].decode_tokens == expect
