@@ -148,6 +148,27 @@ def main():
         f"accept {tr_tok / max(tr_steps, 1):.2f}, equal {tr_equal}/4, "
         f"sources {tr_engine.stats.source_counts}")
 
+    # --- continuous batching throughput (B=4, same prompt mix) ------------
+    from samd_tpu.batching import BatchedSamdEngine
+    from samd_tpu.sam import SamCursor
+
+    bat = BatchedSamdEngine(
+        cfg, params, samd_cfg,
+        lambda: make_drafter(samd_cfg, cfg.vocab_size,
+                             static_sam=SamCursor(static_sam)),
+        batch_size=4, max_cache_len=MAX_CACHE, eos_token_id=-1,
+        prefill_buckets=(128,))
+    bat.add_request(prompts[0][:64],
+                    GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
+    bat.run()  # warmup/compile
+    t0 = time.perf_counter()
+    for p in overlap_prompts + fresh_prompts + overlap_prompts + fresh_prompts:
+        bat.add_request(p, gen)
+    bres = bat.run()
+    bdt = time.perf_counter() - t0
+    btok = sum(r.decode_tokens for r in bres.values())
+    log(f"batched samd (B=4): {btok} tokens in {bdt:.2f}s = {btok/bdt:.1f} tok/s")
+
     speedup = samd_tps / ar_tps
     result = {
         "metric": "specbench_style_speedup_sam_only_vs_own_ar",
@@ -162,6 +183,8 @@ def main():
             "token_recycle_hybrid_speedup": round(tr_tps / ar_tps, 4),
             "token_recycle_mean_accept": round(tr_tok / max(tr_steps, 1), 3),
             "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
+            "batched_samd_tokens_per_s": round(btok / bdt, 2),
+            "batch_size": 4,
             "model": "llama-1b-random-bf16",
             "attention": "xla",
             "prompts": 2 * N_PROMPTS,
