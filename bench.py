@@ -169,6 +169,35 @@ def main():
     btok = sum(r.decode_tokens for r in bres.values())
     log(f"batched samd (B=4): {btok} tokens in {bdt:.2f}s = {btok/bdt:.1f} tok/s")
 
+    # --- device-resident fused PLD (zero per-step host traffic) -----------
+    from samd_tpu.pld import PldConfig, PldEngine
+
+    pld = PldEngine(cfg, params, PldConfig(steps_per_call=32),
+                    max_cache_len=MAX_CACHE, eos_token_id=-1,
+                    prefill_buckets=(128,))
+    pld.generate(prompts[0][:64],
+                 GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
+    pld_outs, pld_tok, pld_steps, pld_dt = timed_generate(
+        pld, overlap_prompts + fresh_prompts, gen)
+    pld_tps = pld_tok / pld_dt
+    log(f"pld fused: {pld_tps:.1f} tok/s ({pld_steps} steps)")
+
+    # --- device-resident fused Token-Recycle ------------------------------
+    from samd_tpu.token_recycle_fused import (
+        FusedTokenRecycleConfig,
+        FusedTokenRecycleEngine,
+    )
+
+    ftr = FusedTokenRecycleEngine(
+        cfg, params, FusedTokenRecycleConfig(steps_per_call=32),
+        max_cache_len=MAX_CACHE, eos_token_id=-1, prefill_buckets=(128,))
+    ftr.generate(prompts[0][:64],
+                 GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
+    _, ftr_tok, ftr_steps, ftr_dt = timed_generate(
+        ftr, overlap_prompts + fresh_prompts, gen)
+    ftr_tps = ftr_tok / ftr_dt
+    log(f"fused token-recycle: {ftr_tps:.1f} tok/s ({ftr_steps} steps)")
+
     speedup = samd_tps / ar_tps
     result = {
         "metric": "specbench_style_speedup_sam_only_vs_own_ar",
@@ -185,6 +214,10 @@ def main():
             "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
             "batched_samd_tokens_per_s": round(btok / bdt, 2),
             "batch_size": 4,
+            "pld_fused_tokens_per_s": round(pld_tps, 2),
+            "pld_fused_speedup": round(pld_tps / ar_tps, 4),
+            "fused_token_recycle_tokens_per_s": round(ftr_tps, 2),
+            "fused_token_recycle_speedup": round(ftr_tps / ar_tps, 4),
             "model": "llama-1b-random-bf16",
             "attention": "xla",
             "prompts": 2 * N_PROMPTS,
