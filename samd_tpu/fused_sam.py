@@ -1,0 +1,278 @@
+"""Fused device-resident SAM-style retrieval decoding.
+
+The host engines (samd_tpu.engine) implement the reference's exact suffix
+automata with O(1)-amortized host walks — but every decode step then pays a
+host↔device round trip.  This engine re-derives the *method* — longest-suffix
+retrieval over (a) the request's own history and (b) a static corpus, with
+first-occurrence continuations and adaptive draft length — as vectorized
+device search, so retrieval, verification, acceptance and commit all run in
+one ``lax.while_loop`` with zero per-step host traffic:
+
+  * match: the last ``max_ngram`` tokens (ending in the start token) are
+    compared against every buffer position with shifted equality + a
+    trailing-run count (no [len, Q] materialization); the first position with
+    the longest run wins (= first occurrence, like the automaton's
+    ``min_endpos``).  Full-window hits are extended backwards up to ``ext``
+    tokens, recovering long-match confidence for adaptive draft length.
+  * policy: corpus match length is handicapped by ``len_bias`` and the
+    dynamic match wins ties — the sam_only selector
+    (/root/reference/samd_sam_only/draft.py:49-59); draft length is
+    ``min(n_predicts, 1 + match·alpha)``
+    (/root/reference/samd_sam_only/sam/dyn_sam.py:115-121).
+  * verify/commit: chain verification identical to samd_tpu.pld.
+
+The trade vs the exact automaton: matches are *detected* through a bounded
+window (``max_ngram + ext``), which bounds the adaptive length, and the
+corpus is searched brute-force (O(corpus) loads per step — at HBM bandwidth
+that stays sub-millisecond below ~10^6 corpus tokens; beyond that, use the
+host automaton engines).  Greedy outputs remain exactly the AR baseline's.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GenerationConfig
+from .engine import Outputs, _bucket
+from .models.configs import ModelConfig
+from .models.llama import Params, block_decode_mask, forward, prefill_mask
+
+
+@dataclass(frozen=True)
+class FusedSamConfig:
+    max_ngram: int = 8        # match-window size Q
+    ext: int = 56             # backward extension for full-window hits
+    n_predicts: int = 59      # max draft continuation (block = +1)
+    alpha: float = 4.0
+    len_bias: int = 0
+    steps_per_call: int = 16
+    corpus_capacity: int = 1 << 15  # static corpus buffer size (one compile
+                                    # serves any corpus up to this length)
+
+    @property
+    def block(self) -> int:
+        return self.n_predicts + 1
+
+
+def suffix_match(buffer: jax.Array, buf_len: jax.Array, query: jax.Array,
+                 tail: jax.Array, tail_len: jax.Array, *, max_ngram: int,
+                 ext: int) -> Tuple[jax.Array, jax.Array]:
+    """Longest-suffix match of `query` (the [Q] trailing window, -1 padded on
+    the left) in ``buffer[:buf_len]``.
+
+    ``tail``/[ext] holds the tokens *preceding* the query window (newest
+    last, -1 padded) for backward extension of full-window hits.
+    Returns (match_len, end_pos) — end_pos is the first (earliest) end index
+    of a longest match; match_len == 0 when nothing matches."""
+    L = buffer.shape[0]
+    Q = max_ngram
+    idx = jnp.arange(L)
+    # trailing-run count without materializing [L, Q]
+    run = jnp.zeros((L,), jnp.int32)
+    alive = jnp.ones((L,), bool)
+    for j in range(Q - 1, -1, -1):
+        # window position j aligns with buffer index i - (Q-1) + j
+        shift = Q - 1 - j
+        shifted = jnp.roll(buffer, shift)
+        ok = (shifted == query[j]) & (query[j] >= 0) & (idx >= shift)
+        alive = alive & ok
+        run = run + alive.astype(jnp.int32)
+    valid = idx < buf_len
+    run = jnp.where(valid, jnp.minimum(run, idx + 1), 0)
+    best_len = jnp.max(run)
+    # first (earliest) end position among the longest matches
+    is_best = run == best_len
+    end = jnp.argmax(is_best & (best_len > 0)).astype(jnp.int32)
+    # backward extension for full-window matches
+    full = best_len >= jnp.minimum(Q, end + 1)
+    eidx = end - Q - jnp.arange(ext)
+    ecand = buffer[jnp.clip(eidx, 0, L - 1)]
+    etail = tail[ext - 1 - jnp.arange(ext)]  # newest-first
+    eok = (ecand == etail) & (eidx >= 0) & (etail >= 0) & \
+        (jnp.arange(ext) < tail_len)
+    extra = jnp.cumprod(eok.astype(jnp.int32)).sum()
+    match = jnp.where(best_len > 0,
+                      best_len + jnp.where(full & (best_len == Q), extra, 0),
+                      0)
+    return match.astype(jnp.int32), end
+
+
+class FusedSamEngine:
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 fs_cfg: Optional[FusedSamConfig] = None, *,
+                 corpus: Optional[Sequence[int]] = None,
+                 max_cache_len: int = 2048, eos_token_id: int = 2,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.cfg = fs_cfg or FusedSamConfig()
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+        from .cache import init_kv_cache
+
+        self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
+        cap = self.cfg.corpus_capacity
+        buf = np.full((cap,), -1, np.int32)
+        n_corpus = 0
+        if corpus is not None and len(corpus) > 0:
+            n_corpus = min(len(corpus), cap)
+            buf[:n_corpus] = np.asarray(corpus[:n_corpus], np.int32)
+        self.corpus = jnp.asarray(buf)
+        self.corpus_len = jnp.int32(n_corpus)
+        self._prefill_fns: Dict[int, callable] = {}
+        self._fused = self._build_fused()
+        self.stats_steps = 0
+        self.stats_dyn = 0
+
+    def _build_prefill(self, P: int):
+        cfg, S = self.model_cfg, self.S
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, kv_k, kv_v, tokens, true_len):
+            logits, _, kv_k, kv_v = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], kv_k, kv_v,
+                jnp.int32(0), prefill_mask(1, P, S))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            return kv_k, kv_v, jnp.argmax(last).astype(jnp.int32)
+
+        return prefill
+
+    def _build_fused(self):
+        cfg, S = self.model_cfg, self.S
+        fc = self.cfg
+        M = fc.block
+        Q = fc.max_ngram
+        tri = jnp.tril(jnp.ones((M, M), bool))
+        chain_pos = jnp.arange(M, dtype=jnp.int32)
+        corpus = self.corpus
+        corpus_len = self.corpus_len
+
+        def make_draft(history, hist_len, start):
+            # query window = last Q-1 history tokens + start (-1 pad left)
+            qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
+            query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)],
+                              -1)
+            query = jnp.concatenate([query, start[None]])
+            # extension context = tokens before the window
+            tidx = hist_len - (Q - 1) - fc.ext + jnp.arange(fc.ext)
+            tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
+            tail_len = jnp.clip(hist_len - (Q - 1), 0, fc.ext)
+
+            m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=fc.ext)
+            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=fc.ext)
+            m_cor_adj = m_cor - fc.len_bias
+            use_dyn = m_dyn >= m_cor_adj
+            match = jnp.where(use_dyn, m_dyn, m_cor_adj)
+            n = jnp.minimum(fc.n_predicts + 1,
+                            1 + (match.astype(jnp.float32)
+                                 * fc.alpha).astype(jnp.int32))
+            src = jnp.where(use_dyn, e_dyn, e_cor)
+            src_len = jnp.where(use_dyn, hist_len, corpus_len)
+            cidx = src + 1 + jnp.arange(M - 1)
+            cont_dyn = history[jnp.clip(cidx, 0, S - 1)]
+            cont_cor = corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)]
+            cont = jnp.where(use_dyn, cont_dyn, cont_cor)
+            cont_avail = jnp.clip(src_len - (src + 1), 0, M - 1)
+            draft_len = jnp.where(match > 0,
+                                  jnp.minimum(n, 1 + cont_avail),
+                                  1).astype(jnp.int32)
+            tokens = jnp.concatenate([start[None], cont]).astype(jnp.int32)
+            return tokens, draft_len, use_dyn
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def fused(params, kv_k, kv_v, history, hist_len, start_token,
+                  budget, eos_id):
+            def cond(st):
+                (kv_k, kv_v, history, hist_len, start, budget, done, steps,
+                 dyn_steps) = st
+                return (~done & (steps < fc.steps_per_call) & (budget > 0)
+                        & (hist_len + M <= S))
+
+            def body(st):
+                (kv_k, kv_v, history, hist_len, start, budget, done, steps,
+                 dyn_steps) = st
+                draft_tokens, draft_len, use_dyn = make_draft(
+                    history, hist_len, start)
+                s = jnp.arange(S)[None, None, :]
+                mask = block_decode_mask(tri, hist_len, S)
+                in_block = (s >= hist_len) & (s < hist_len + M)
+                mask = mask & (~in_block | (s < hist_len + draft_len))
+                mask = mask | (s == (hist_len + chain_pos)[None, :, None])
+                logits, _, kv_k, kv_v = forward(
+                    params, cfg, jnp.maximum(draft_tokens, 0)[None],
+                    chain_pos[None, :] + hist_len, kv_k, kv_v, hist_len,
+                    mask)
+                argmax_tok = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                in_draft = chain_pos < draft_len
+                hit = (draft_tokens[1:] == argmax_tok[:-1]) & in_draft[1:]
+                alen = jnp.cumprod(hit.astype(jnp.int32)).sum() + 1
+                acc = draft_tokens
+                is_eos = (acc == eos_id) & (chain_pos < alen)
+                any_eos = jnp.any(is_eos)
+                alen = jnp.where(any_eos,
+                                 jnp.argmax(is_eos).astype(jnp.int32) + 1,
+                                 alen)
+                bonus = argmax_tok[alen - 1]
+                history = jax.lax.dynamic_update_slice(history, acc,
+                                                       (hist_len,))
+                hist_len = hist_len + alen
+                budget = budget - alen
+                done = any_eos | (budget <= 0)
+                return (kv_k, kv_v, history, hist_len, bonus, budget, done,
+                        steps + 1, dyn_steps + use_dyn.astype(jnp.int32))
+
+            init = (kv_k, kv_v, history, hist_len, start_token, budget,
+                    jnp.bool_(False), jnp.int32(0), jnp.int32(0))
+            return jax.lax.while_loop(cond, body, init)
+
+        return fused
+
+    # ------------------------------------------------------------------
+    def generate(self, input_ids: Sequence[int],
+                 gen_config: Optional[GenerationConfig] = None) -> Outputs:
+        gen = gen_config or GenerationConfig()
+        input_ids = list(input_ids)
+        P = _bucket(len(input_ids), self.prefill_buckets)
+        if P not in self._prefill_fns:
+            self._prefill_fns[P] = self._build_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(input_ids)] = input_ids
+        self.kv_k, self.kv_v, next_token = self._prefill_fns[P](
+            self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
+            jnp.int32(len(input_ids)))
+
+        history = jnp.zeros((self.S,), jnp.int32)
+        history = jax.lax.dynamic_update_slice(
+            history, jnp.asarray(input_ids, jnp.int32), (0,))
+        hist_len = jnp.int32(len(input_ids))
+        budget = jnp.int32(gen.max_new_tokens)
+        start = next_token
+        done = False
+        decode_steps = 0
+        while not done:
+            (self.kv_k, self.kv_v, history, hist_len, start, budget, done_d,
+             steps, dyn_steps) = self._fused(
+                self.params, self.kv_k, self.kv_v, history, hist_len, start,
+                budget, jnp.int32(self.eos_token_id))
+            decode_steps += int(steps)
+            self.stats_dyn += int(dyn_steps)
+            done = bool(done_d) or int(steps) == 0 or \
+                int(hist_len) + self.cfg.block > self.S
+        self.stats_steps += decode_steps
+        out = np.asarray(history)[:int(hist_len)].tolist()
+        gen_part = out[len(input_ids):]
+        if self.eos_token_id in gen_part:
+            gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
+        gen_part = gen_part[:gen.max_new_tokens]
+        return Outputs(input_ids + gen_part, len(gen_part), decode_steps, [])
