@@ -1,0 +1,117 @@
+"""Paged KV-cache pool for memory-efficient multi-request serving.
+
+The dense engines preallocate ``[L, B, KH, S_max, D]`` per slot — fine for a
+handful of streams, wasteful when requests vary widely in length.  This
+module provides a vLLM-style page pool:
+
+  * one pool ``[L, n_pages, KH, page_size, D]`` per k/v, shared by all
+    requests;
+  * a host-side free-list allocator; each request holds an ordered page table
+    (grown on demand);
+  * jitted gather/scatter: ``gather_request`` materializes a request's
+    contiguous KV view for the standard forward; ``scatter_block`` writes a
+    freshly computed block back into its pages (blocks may straddle pages).
+
+v1 integration is gather-before-forward (one extra read+write of the
+request's live KV per step — bounded by the attention's own KV traffic).  A
+paged flash-attention kernel that consumes page tables directly is the
+follow-up that removes the copy (see ops/pallas_attention.py for the
+block-streaming machinery it will reuse).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.configs import ModelConfig
+
+
+class PagedKVPool:
+    def __init__(self, cfg: ModelConfig, *, n_pages: int, page_size: int,
+                 dtype=None):
+        dtype = dtype or cfg.dtype
+        shape = (cfg.num_layers, n_pages, cfg.num_kv_heads, page_size,
+                 cfg.head_dim)
+        self.k = jnp.zeros(shape, dtype)
+        self.v = jnp.zeros(shape, dtype)
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self._free: List[int] = list(range(n_pages))
+
+    # -- host-side allocator -------------------------------------------
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"paged KV pool exhausted ({n} pages requested, "
+                f"{len(self._free)} free)")
+        out, self._free = self._free[:n], self._free[n:]
+        return out
+
+    def free(self, pages: List[int]) -> None:
+        self._free.extend(pages)
+
+    def pages_for(self, length: int) -> int:
+        return -(-length // self.page_size)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gather_request(pool_k: jax.Array, pool_v: jax.Array,
+                   page_table: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """page_table: [P] int32 page ids (-1 padded) → contiguous KV view
+    [L, 1, KH, P*page_size, D] for the standard forward."""
+    safe = jnp.maximum(page_table, 0)
+    def g(pool):
+        gathered = jnp.take(pool, safe, axis=1)     # [L, P, KH, page, D]
+        L, P, KH, page, D = gathered.shape
+        return gathered.transpose(0, 2, 1, 3, 4).reshape(
+            L, 1, KH, P * page, D)
+    return g(pool_k), g(pool_v)
+
+
+def scatter_block(pool: jax.Array, page_table: jax.Array, offset: jax.Array,
+                  block: jax.Array, block_size: int) -> jax.Array:
+    """Write ``block`` [L, 1, KH, block_size, D] at logical position
+    ``offset`` of the request's paged KV.  Scatters per-token (block_size is
+    small — the draft block)."""
+    L, _, KH, _, D = block.shape
+    page_size = pool.shape[3]
+    tok_pos = offset + jnp.arange(block_size)              # [T]
+    page_idx = page_table[tok_pos // page_size]            # [T]
+    in_page = tok_pos % page_size                          # [T]
+    # pool[:, page_idx[t], :, in_page[t], :] = block[:, 0, :, t, :]
+    blk = block[:, 0].transpose(0, 2, 1, 3)                # [L, T, KH, D]
+    return pool.at[:, page_idx, :, in_page, :].set(
+        blk.transpose(1, 0, 2, 3))
+
+
+class PagedRequest:
+    """A request's page table + committed length."""
+
+    def __init__(self, pool: PagedKVPool, max_len: int):
+        self.pool = pool
+        self.max_pages = pool.pages_for(max_len)
+        self.pages: List[int] = []
+        self.length = 0
+
+    def ensure(self, new_length: int) -> None:
+        need = self.pool.pages_for(new_length)
+        if need > self.max_pages:
+            raise ValueError("request exceeds its max_len")
+        if need > len(self.pages):
+            self.pages.extend(self.pool.alloc(need - len(self.pages)))
+
+    def table(self) -> jax.Array:
+        import numpy as np
+
+        t = np.full(self.max_pages, -1, np.int32)
+        t[:len(self.pages)] = self.pages
+        return jnp.asarray(t)
+
+    def release(self) -> None:
+        self.pool.free(self.pages)
+        self.pages = []
+        self.length = 0

@@ -28,43 +28,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.configs import ModelConfig
 
 
-def make_mesh(num_devices: Optional[int] = None, *, dp: int = 1,
+def make_mesh(num_devices: Optional[int] = None, *, dp: int = 1, pp: int = 1,
               devices=None) -> Mesh:
+    """Mesh with axes ("dp", "pp", "tp") — pp/dp default to 1, so the common
+    tensor-parallel case is a (1, 1, tp) mesh."""
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    if n % dp != 0:
-        raise ValueError(f"{n} devices not divisible by dp={dp}")
-    tp = n // dp
-    return Mesh(np.asarray(devices).reshape(dp, tp), ("dp", "tp"))
+    if n % (dp * pp) != 0:
+        raise ValueError(f"{n} devices not divisible by dp*pp={dp * pp}")
+    tp = n // (dp * pp)
+    return Mesh(np.asarray(devices).reshape(dp, pp, tp), ("dp", "pp", "tp"))
 
 
 def check_shardable(cfg: ModelConfig, mesh: Mesh) -> None:
     tp = mesh.shape["tp"]
+    pp = mesh.shape.get("pp", 1)
     for name, dim in [("num_kv_heads", cfg.num_kv_heads),
                       ("num_heads", cfg.num_heads),
                       ("intermediate_size", cfg.intermediate_size),
                       ("vocab_size", cfg.vocab_size)]:
         if dim % tp != 0:
             raise ValueError(f"{name}={dim} not divisible by tp={tp}")
+    if cfg.num_layers % pp != 0:
+        raise ValueError(
+            f"num_layers={cfg.num_layers} not divisible by pp={pp}")
 
 
 def param_specs(cfg: ModelConfig) -> dict:
-    """PartitionSpec pytree matching samd_tpu.models.llama.init_params."""
+    """PartitionSpec pytree matching samd_tpu.models.llama.init_params.
+
+    Layer-stacked weights shard their leading (layer) axis over "pp": under
+    ``lax.scan`` each pipeline stage owns its contiguous layer block, the
+    hidden state flowing stage-to-stage — the TPU-native analogue of the
+    reference's HF ``device_map`` layer placement (SURVEY.md §2.5)."""
     specs = {
         "embed": P("tp", None),
         "layers": {
-            "attn_norm": P(None, None),
-            "wq": P(None, None, "tp"),
-            "wk": P(None, None, "tp"),
-            "wv": P(None, None, "tp"),
-            "wo": P(None, "tp", None),
-            "mlp_norm": P(None, None),
-            "w_gate": P(None, None, "tp"),
-            "w_up": P(None, None, "tp"),
-            "w_down": P(None, "tp", None),
+            "attn_norm": P("pp", None),
+            "wq": P("pp", None, "tp"),
+            "wk": P("pp", None, "tp"),
+            "wv": P("pp", None, "tp"),
+            "wo": P("pp", "tp", None),
+            "mlp_norm": P("pp", None),
+            "w_gate": P("pp", None, "tp"),
+            "w_up": P("pp", None, "tp"),
+            "w_down": P("pp", "tp", None),
         },
         "final_norm": P(None),
     }
@@ -74,7 +85,7 @@ def param_specs(cfg: ModelConfig) -> dict:
 
 
 def kv_spec() -> P:
-    return P(None, "dp", "tp", None, None)
+    return P("pp", "dp", "tp", None, None)
 
 
 def shard_params(params, mesh: Mesh, cfg: ModelConfig):

@@ -27,7 +27,9 @@ def shardable_config():
 def test_mesh_creation():
     assert len(jax.devices()) == 8
     mesh = make_mesh(8, dp=2)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert dict(mesh.shape) == {"dp": 2, "pp": 1, "tp": 4}
+    mesh = make_mesh(8, dp=1, pp=2)
+    assert dict(mesh.shape) == {"dp": 1, "pp": 2, "tp": 4}
 
 
 def test_param_sharding_layout():
@@ -63,6 +65,29 @@ def test_tp_engine_matches_single_device():
     out = tp.generate(prompt, gen)
     assert out.output_ids == ref.output_ids
     assert out.decode_tokens == ref.decode_tokens
+
+
+def test_pp_tp_engine_matches_single_device():
+    """Pipeline (layer-axis) + tensor parallel: same greedy outputs."""
+    cfg = shardable_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), scale=0.4)
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=8, len_bias=0)
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=128)
+    prompt = np.random.default_rng(3).integers(3, 256, size=16).tolist()
+
+    single = SamdEngine(cfg, params, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size),
+                        max_cache_len=128, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    ref = single.generate(prompt, gen)
+
+    mesh = make_mesh(8, dp=1, pp=2)  # 2 stages x tp=4
+    eng = SamdEngine(cfg, params, samd_cfg,
+                     make_drafter(samd_cfg, cfg.vocab_size),
+                     max_cache_len=128, eos_token_id=-1,
+                     prefill_buckets=(32,), mesh=mesh)
+    out = eng.generate(prompt, gen)
+    assert out.output_ids == ref.output_ids
 
 
 def test_dp_tp_batched_forward():
