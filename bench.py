@@ -207,6 +207,26 @@ def main():
     log(f"fused-sam: {fs_tps:.1f} tok/s, accept {fs_tok/max(fs_steps,1):.2f}, "
         f"overlap trajectory equal {fs_equal}/2")
 
+    # --- batched fused-sam (batching × fusion) ----------------------------
+    from samd_tpu.fused_sam import BatchedFusedSamEngine
+
+    bfs = BatchedFusedSamEngine(cfg, params, fscfg, corpus=fs_corpus,
+                                batch_size=4, max_cache_len=MAX_CACHE,
+                                eos_token_id=-1, prefill_buckets=(128,))
+    bfs.add_request(prompts[0][:64],
+                    GenerationConfig(max_new_tokens=4,
+                                     max_cache_len=MAX_CACHE))
+    bfs.run()
+    t0 = time.perf_counter()
+    for p in (overlap_prompts + fresh_prompts) * 2:
+        bfs.add_request(p, gen)
+    bfs_res = bfs.run()
+    bfs_dt = time.perf_counter() - t0
+    bfs_tok = sum(r.decode_tokens for r in bfs_res.values())
+    bfs_tps = bfs_tok / bfs_dt
+    log(f"batched fused-sam (B=4): {bfs_tok} tokens in {bfs_dt:.2f}s = "
+        f"{bfs_tps:.1f} tok/s")
+
     # --- device-resident fused Token-Recycle ------------------------------
     from samd_tpu.token_recycle_fused import (
         FusedTokenRecycleConfig,
@@ -242,6 +262,8 @@ def main():
             "token_recycle_mean_accept": round(tr_tok / max(tr_steps, 1), 3),
             "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
             "batched_samd_tokens_per_s": round(btok / bdt, 2),
+            "batched_fused_sam_tokens_per_s": round(bfs_tps, 2),
+            "batched_fused_sam_speedup": round(bfs_tps / ar_tps, 4),
             "batch_size": 4,
             "pld_fused_tokens_per_s": round(pld_tps, 2),
             "pld_fused_speedup": round(pld_tps / ar_tps, 4),

@@ -276,3 +276,257 @@ class FusedSamEngine:
             gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
         gen_part = gen_part[:gen.max_new_tokens]
         return Outputs(input_ids + gen_part, len(gen_part), decode_steps, [])
+
+
+# ----------------------------------------------------------------------
+# Batched fused serving: continuous batching × device-resident retrieval
+# ----------------------------------------------------------------------
+
+class BatchedFusedSamEngine:
+    """B request slots stepped together inside one fused device loop.
+
+    Combines samd_tpu.batching's slot scheduler with the fused retrieval
+    loop: per segment (up to ``steps_per_call`` iterations) every active slot
+    drafts from its own history + the shared corpus, verifies and commits —
+    all on device.  Host work per segment: admit/finish slots and read back
+    [B] scalars + finished histories."""
+
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 fs_cfg: Optional[FusedSamConfig] = None, *,
+                 corpus: Optional[Sequence[int]] = None,
+                 batch_size: int = 4, max_cache_len: int = 2048,
+                 eos_token_id: int = 2,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.cfg = fs_cfg or FusedSamConfig()
+        self.B = batch_size
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+        from .cache import init_kv_cache
+
+        self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
+                                             max_cache_len)
+        cap = self.cfg.corpus_capacity
+        buf = np.full((cap,), -1, np.int32)
+        n_corpus = 0
+        if corpus is not None and len(corpus) > 0:
+            n_corpus = min(len(corpus), cap)
+            buf[:n_corpus] = np.asarray(corpus[:n_corpus], np.int32)
+        self.corpus = jnp.asarray(buf)
+        self.corpus_len = jnp.int32(n_corpus)
+
+        self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
+        self._prefill_fns = {}
+        self._fused = self._build_fused()
+        # host-side slot bookkeeping
+        self._slot_req = [None] * batch_size     # request id or None
+        self._slot_prompt = [0] * batch_size
+        self._slot_max_new = [0] * batch_size
+        self._slot_steps = [0] * batch_size
+        self.queue = []
+        self.results = {}
+        self._next_id = 0
+
+    def _build_prefill(self, P: int):
+        cfg, S = self.model_cfg, self.S
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def prefill(params, kv_k, kv_v, histories, tokens, true_len, slot):
+            from .cache import init_kv_cache
+
+            fk, fv = init_kv_cache(cfg, 1, S)
+            logits, _, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, S))
+            kv_k2 = jax.lax.dynamic_update_slice(kv_k, fk, (0, slot, 0, 0, 0))
+            kv_v2 = jax.lax.dynamic_update_slice(kv_v, fv, (0, slot, 0, 0, 0))
+            row = jnp.zeros((1, S), jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
+            histories = jax.lax.dynamic_update_slice(histories, row, (slot, 0))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            return kv_k2, kv_v2, histories, jnp.argmax(last).astype(jnp.int32)
+
+        return prefill
+
+    def _build_fused(self):
+        cfg, S, B = self.model_cfg, self.S, self.B
+        fc = self.cfg
+        M = fc.block
+        Q = fc.max_ngram
+        tri = jnp.tril(jnp.ones((M, M), bool))
+        chain_pos = jnp.arange(M, dtype=jnp.int32)
+        corpus = self.corpus
+        corpus_len = self.corpus_len
+
+        def make_draft(history, hist_len, start):
+            qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
+            query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)],
+                              -1)
+            query = jnp.concatenate([query, start[None]])
+            tidx = hist_len - (Q - 1) - fc.ext + jnp.arange(fc.ext)
+            tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
+            tail_len = jnp.clip(hist_len - (Q - 1), 0, fc.ext)
+            m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=fc.ext)
+            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=fc.ext)
+            m_cor_adj = m_cor - fc.len_bias
+            use_dyn = m_dyn >= m_cor_adj
+            match = jnp.where(use_dyn, m_dyn, m_cor_adj)
+            n = jnp.minimum(fc.n_predicts + 1,
+                            1 + (match.astype(jnp.float32)
+                                 * fc.alpha).astype(jnp.int32))
+            src = jnp.where(use_dyn, e_dyn, e_cor)
+            src_len = jnp.where(use_dyn, hist_len, corpus_len)
+            cidx = src + 1 + jnp.arange(M - 1)
+            cont_dyn = history[jnp.clip(cidx, 0, S - 1)]
+            cont_cor = corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)]
+            cont = jnp.where(use_dyn, cont_dyn, cont_cor)
+            cont_avail = jnp.clip(src_len - (src + 1), 0, M - 1)
+            draft_len = jnp.where(match > 0,
+                                  jnp.minimum(n, 1 + cont_avail),
+                                  1).astype(jnp.int32)
+            tokens = jnp.concatenate([start[None], cont]).astype(jnp.int32)
+            return tokens, draft_len
+
+        def slot_mask(hist_len, draft_len):
+            s = jnp.arange(S)[None, :]
+            mask = block_decode_mask(tri, hist_len, S)[0]       # [M, S]
+            in_block = (s >= hist_len) & (s < hist_len + M)
+            mask = mask & (~in_block | (s < hist_len + draft_len))
+            return mask | (s == (hist_len + chain_pos)[:, None])
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def fused(params, kv_k, kv_v, histories, hist_lens, starts, budgets,
+                  actives, eos_id):
+            def cond(st):
+                (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
+                 steps, slot_steps) = st
+                return jnp.any(lives) & (steps < fc.steps_per_call)
+
+            def body(st):
+                (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
+                 steps, slot_steps) = st
+                drafts, dlens = jax.vmap(make_draft)(histories, hist_lens,
+                                                     starts)       # [B,M],[B]
+                masks = jax.vmap(slot_mask)(hist_lens, dlens)      # [B,M,S]
+                pos = chain_pos[None, :] + hist_lens[:, None]
+                logits, _, kv_k, kv_v = forward(
+                    params, cfg, jnp.maximum(drafts, 0), pos, kv_k, kv_v,
+                    hist_lens, masks)
+                argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                in_draft = chain_pos[None, :] < dlens[:, None]
+                hit = (drafts[:, 1:] == argmax_tok[:, :-1]) & in_draft[:, 1:]
+                alens = jnp.cumprod(hit.astype(jnp.int32), axis=1
+                                    ).sum(axis=1) + 1              # [B]
+                is_eos = (drafts == eos_id) & \
+                    (chain_pos[None, :] < alens[:, None])
+                any_eos = jnp.any(is_eos, axis=1)
+                alens = jnp.where(any_eos,
+                                  jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+                                  + 1, alens)
+                alens = jnp.where(lives, alens, 0)
+                bonus = argmax_tok[jnp.arange(B),
+                                   jnp.maximum(alens - 1, 0)]
+                histories = jax.vmap(
+                    lambda h, a, o: jax.lax.dynamic_update_slice(h, a, (o,))
+                )(histories, jnp.maximum(drafts, 0), hist_lens)
+                hist_lens = hist_lens + alens
+                budgets = budgets - alens
+                starts = jnp.where(lives, bonus, starts)
+                slot_steps = slot_steps + lives.astype(jnp.int32)
+                lives = lives & ~any_eos & (budgets > 0) & \
+                    (hist_lens + M <= S)
+                return (kv_k, kv_v, histories, hist_lens, starts, budgets,
+                        lives, steps + 1, slot_steps)
+
+            lives = actives & (budgets > 0) & (hist_lens + M <= S)
+            init = (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
+                    jnp.int32(0), jnp.zeros((B,), jnp.int32))
+            (kv_k, kv_v, histories, hist_lens, starts, budgets, lives, steps,
+             slot_steps) = jax.lax.while_loop(cond, body, init)
+            return (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
+                    slot_steps)
+
+        return fused
+
+    # -- scheduler -------------------------------------------------------
+    def add_request(self, input_ids: Sequence[int],
+                    gen_config: Optional[GenerationConfig] = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append((rid, list(input_ids),
+                           gen_config or GenerationConfig()))
+        return rid
+
+    def run(self):
+        B = self.B
+        hist_lens = np.zeros(B, np.int32)
+        starts = np.zeros(B, np.int32)
+        budgets = np.zeros(B, np.int32)
+        actives = np.zeros(B, bool)
+
+        while self.queue or actives.any():
+            # admit
+            for i in range(B):
+                if actives[i] or not self.queue:
+                    continue
+                rid, ids, gen = self.queue.pop(0)
+                P = _bucket(len(ids), self.prefill_buckets)
+                if P not in self._prefill_fns:
+                    self._prefill_fns[P] = self._build_prefill(P)
+                padded = np.zeros(P, np.int32)
+                padded[:len(ids)] = ids
+                (self.kv_k, self.kv_v, self.histories, nt) = \
+                    self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
+                                         self.histories, jnp.asarray(padded),
+                                         jnp.int32(len(ids)), jnp.int32(i))
+                self._slot_req[i] = rid
+                self._slot_prompt[i] = len(ids)
+                self._slot_max_new[i] = gen.max_new_tokens
+                self._slot_steps[i] = 0
+                hist_lens[i] = len(ids)
+                starts[i] = int(nt)
+                budgets[i] = gen.max_new_tokens
+                actives[i] = True
+            if not actives.any():
+                break
+            # fused segment
+            (self.kv_k, self.kv_v, self.histories, hl, st, bu, lives,
+             slot_steps) = self._fused(
+                self.params, self.kv_k, self.kv_v, self.histories,
+                jnp.asarray(hist_lens), jnp.asarray(starts),
+                jnp.asarray(budgets), jnp.asarray(actives),
+                jnp.int32(self.eos_token_id))
+            hist_lens = np.asarray(hl).copy()
+            starts = np.asarray(st).copy()
+            budgets = np.asarray(bu).copy()
+            lives = np.asarray(lives)
+            steps_arr = np.asarray(slot_steps)
+            hist_np = None
+            for i in range(B):
+                if not actives[i]:
+                    continue
+                self._slot_steps[i] += int(steps_arr[i])
+                if lives[i]:
+                    continue  # still going next segment
+                # finished: extract output
+                if hist_np is None:
+                    hist_np = np.asarray(self.histories)
+                ids = hist_np[i, :hist_lens[i]].tolist()
+                plen = self._slot_prompt[i]
+                gen_part = ids[plen:]
+                if self.eos_token_id in gen_part:
+                    gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
+                gen_part = gen_part[:self._slot_max_new[i]]
+                self.results[self._slot_req[i]] = Outputs(
+                    ids[:plen] + gen_part, len(gen_part),
+                    self._slot_steps[i], [])
+                actives[i] = False
+                self._slot_req[i] = None
+        out, self.results = self.results, {}
+        return out

@@ -118,3 +118,53 @@ def test_fused_sam_eos(tiny_model):
     gen_part = out.output_ids[len(p):]
     assert eos in gen_part
     assert gen_part.index(eos) == len(gen_part) - 1
+
+
+def test_batched_fused_sam_matches_single(tiny_model):
+    from samd_tpu.fused_sam import BatchedFusedSamEngine
+
+    cfg, params = tiny_model
+    fscfg = FusedSamConfig(n_predicts=15, steps_per_call=6,
+                           corpus_capacity=256)
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(3, 128, size=int(rng.integers(10, 24))).tolist()
+               for _ in range(5)]
+
+    single = FusedSamEngine(cfg, params, fscfg, max_cache_len=256,
+                            eos_token_id=-1, prefill_buckets=(32,))
+    expected = [single.generate(p, gen) for p in prompts]
+
+    batched = BatchedFusedSamEngine(cfg, params, fscfg, batch_size=2,
+                                    max_cache_len=256, eos_token_id=-1,
+                                    prefill_buckets=(32,))
+    ids = [batched.add_request(p, gen) for p in prompts]
+    results = batched.run()
+    assert set(results) == set(ids)
+    for rid, exp in zip(ids, expected):
+        assert results[rid].output_ids == exp.output_ids, f"request {rid}"
+        assert results[rid].decode_tokens == exp.decode_tokens
+
+
+def test_batched_fused_sam_with_corpus(tiny_model):
+    from samd_tpu.fused_sam import BatchedFusedSamEngine
+
+    cfg, params = tiny_model
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    p = np.random.default_rng(6).integers(3, 128, size=20).tolist()
+    fscfg = FusedSamConfig(n_predicts=15, steps_per_call=6,
+                           corpus_capacity=256)
+    probe = FusedSamEngine(cfg, params, fscfg, max_cache_len=256,
+                           eos_token_id=-1, prefill_buckets=(32,))
+    ref = probe.generate(p, gen)
+    corpus = ref.output_ids + [0]
+
+    batched = BatchedFusedSamEngine(cfg, params, fscfg, corpus=corpus,
+                                    batch_size=2, max_cache_len=256,
+                                    eos_token_id=-1, prefill_buckets=(32,))
+    ids = [batched.add_request(p, gen) for _ in range(3)]
+    results = batched.run()
+    for rid in ids:
+        assert results[rid].output_ids == ref.output_ids
+        assert results[rid].decode_steps < ref.decode_steps or \
+            results[rid].decode_steps <= 4
