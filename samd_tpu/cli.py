@@ -44,11 +44,30 @@ def build_engine(args):
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         eos = tokenizer.eos_token_id
 
-    samd_cfg = SamdConfig(draft_source=args.mode)
-    engine = SamdEngine(
-        cfg, params, samd_cfg,
-        make_drafter(samd_cfg, cfg.vocab_size, static_sam=static_sam),
-        max_cache_len=args.max_cache_len, eos_token_id=eos)
+    if args.engine == "fused_sam":
+        from .fused_sam import FusedSamEngine
+
+        corpus = static_sam.text if static_sam is not None else None
+        engine = FusedSamEngine(cfg, params, corpus=corpus,
+                                max_cache_len=args.max_cache_len,
+                                eos_token_id=eos)
+    elif args.engine == "pld":
+        from .pld import PldEngine
+
+        engine = PldEngine(cfg, params, max_cache_len=args.max_cache_len,
+                           eos_token_id=eos)
+    elif args.engine == "token_recycle":
+        from .token_recycle_fused import FusedTokenRecycleEngine
+
+        engine = FusedTokenRecycleEngine(cfg, params,
+                                         max_cache_len=args.max_cache_len,
+                                         eos_token_id=eos)
+    else:
+        samd_cfg = SamdConfig(draft_source=args.mode)
+        engine = SamdEngine(
+            cfg, params, samd_cfg,
+            make_drafter(samd_cfg, cfg.vocab_size, static_sam=static_sam),
+            max_cache_len=args.max_cache_len, eos_token_id=eos)
     return engine, tokenizer
 
 
@@ -58,6 +77,9 @@ def main():
     p.add_argument("--sam", default=None, help="static corpus SAM (.npz)")
     p.add_argument("--mode", default="sam_only",
                    choices=["sam_only", "sam_hybrid"])
+    p.add_argument("--engine", default="samd",
+                   choices=["samd", "fused_sam", "pld", "token_recycle"],
+                   help="samd = host SAM automata; fused_* = device loops")
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--max-cache-len", type=int, default=2048)
     p.add_argument("--random-model", action="store_true")
@@ -94,7 +116,11 @@ def main():
                 continue
         print("ASSISTANT> ", end="", flush=True)
         out_ids = []
-        for chunk in engine.stream_generate(ids, gen):
+        if hasattr(engine, "stream_generate"):
+            chunks = engine.stream_generate(ids, gen)
+        else:  # fused engines emit whole segments
+            chunks = [engine.generate(ids, gen).output_ids[len(ids):]]
+        for chunk in chunks:
             out_ids.extend(chunk)
             if tokenizer is not None:
                 print(tokenizer.decode(chunk, skip_special_tokens=True),

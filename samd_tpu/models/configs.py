@@ -9,7 +9,7 @@ benchmarks.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Optional
+
 
 import jax.numpy as jnp
 

@@ -23,13 +23,12 @@ across TPU-VM hosts.
 
 from __future__ import annotations
 
-import io
 import os
-from typing import BinaryIO, Tuple, Union
+from typing import BinaryIO, Union
 
 import numpy as np
 
-from .automaton import NO_LINK, SuffixAutomaton
+from .automaton import SuffixAutomaton
 
 FORMAT_VERSION = 1
 
