@@ -1,0 +1,301 @@
+"""Fused hybrid: SAM-style retrieval + Token-Recycle trees, all on device.
+
+The reference's flagship configuration — SAM-Decoding[Token Recycle]
+(README.md:55, 2.27× — adaptive per-step choice between retrieval drafts and
+a model-based tree, /root/reference/samd/draft.py:52-63) — re-composed from
+the fused building blocks:
+
+  per while_loop iteration:
+    match  = longest-suffix search over history + corpus (fused_sam)
+    draft  = retrieval CHAIN when max(match_dyn, match_cor - bias) >=
+             len_threshold (packed chain), else the Token-Recycle TREE filled
+             from the device harvest table (token_recycle_fused)
+    verify = generic packed-draft path: in-jit mask/positions/paths from the
+             parent vector (ops/treeops), tree acceptance (verify.greedy_accept)
+    commit = KV gather-compaction of the winning path, harvest-table scatter,
+             history append
+
+Zero per-step host traffic, greedy outputs equal to the AR baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import compact_accepted
+from .config import GenerationConfig
+from .drafters.tree_topology import child_ranks, rank_probability_tree
+from .engine import Outputs, _bucket
+from .fused_sam import suffix_match
+from .models.configs import ModelConfig
+from .models.llama import Params, block_decode_mask, forward, prefill_mask
+from .ops.treeops import unpack_draft
+from .sam.trees import node_depths
+from .verify import greedy_accept
+
+
+@dataclass(frozen=True)
+class FusedHybridConfig:
+    """Reference-canonical hybrid knobs (scripts/inference_samd.sh:16-20:
+    n_predicts=40, len_threshold=5, len_bias=5)."""
+    max_ngram: int = 8
+    ext: int = 56
+    n_predicts: int = 40        # retrieval chain length (incl. start token)
+    len_threshold: int = 5
+    len_bias: int = 5
+    tree_nodes: int = 61        # Token-Recycle topology size
+    topk: int = 8
+    steps_per_call: int = 16
+    corpus_capacity: int = 1 << 15
+    max_block: int = 64         # M >= max(n_predicts, tree_nodes)
+
+
+class FusedHybridEngine:
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 hy_cfg: Optional[FusedHybridConfig] = None, *,
+                 corpus: Optional[Sequence[int]] = None,
+                 max_cache_len: int = 2048, eos_token_id: int = 2,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.cfg = hy_cfg or FusedHybridConfig()
+        assert self.cfg.max_block >= max(self.cfg.n_predicts,
+                                         self.cfg.tree_nodes)
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+
+        # Token-Recycle topology, depth-relabeled, as device constants
+        parents = rank_probability_tree(self.cfg.tree_nodes,
+                                        branching=self.cfg.topk)
+        d = node_depths(parents)
+        order = np.lexsort((np.arange(len(parents)), d))
+        new_pos = np.empty(len(parents), np.int32)
+        new_pos[order] = np.arange(len(parents), dtype=np.int32)
+        relabeled = np.full(len(parents), -1, np.int32)
+        for i, p in enumerate(parents):
+            if p >= 0:
+                relabeled[new_pos[i]] = new_pos[p]
+        self.tr_parents = relabeled
+        self.tr_depths = node_depths(relabeled)
+        self.tr_children = child_ranks(relabeled)
+        rank = np.zeros(len(parents), np.int32)
+        for p, childs in enumerate(self.tr_children):
+            for r, c in enumerate(childs):
+                rank[c] = r
+        self.tr_rank = rank
+
+        from .cache import init_kv_cache
+
+        self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
+        V = model_cfg.vocab_size
+        self.harvest = jnp.zeros((V + 1, self.cfg.topk), jnp.int32)
+        self.seen = jnp.zeros((V + 1,), bool)
+        cap = self.cfg.corpus_capacity
+        buf = np.full((cap,), -1, np.int32)
+        n_corpus = 0
+        if corpus is not None and len(corpus) > 0:
+            n_corpus = min(len(corpus), cap)
+            buf[:n_corpus] = np.asarray(corpus[:n_corpus], np.int32)
+        self.corpus = jnp.asarray(buf)
+        self.corpus_len = jnp.int32(n_corpus)
+        self._prefill_fns: Dict[int, callable] = {}
+        self._fused = self._build_fused()
+
+    # ------------------------------------------------------------------
+    def _build_prefill(self, P: int):
+        cfg, S, K = self.model_cfg, self.S, self.cfg.topk
+        V = cfg.vocab_size
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+        def prefill(params, kv_k, kv_v, harvest, seen, tokens, true_len):
+            logits, _, kv_k, kv_v = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], kv_k, kv_v,
+                jnp.int32(0), prefill_mask(1, P, S))
+            topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            rows = jnp.where(jnp.arange(P) < true_len, tokens, V)
+            harvest = harvest.at[rows].set(topk)
+            seen = seen.at[rows].set(True).at[V].set(False)
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            return (kv_k, kv_v, harvest, seen,
+                    jnp.argmax(last).astype(jnp.int32))
+
+        return prefill
+
+    def _build_fused(self):
+        cfg, S = self.model_cfg, self.S
+        hc = self.cfg
+        M = hc.max_block
+        Q = hc.max_ngram
+        N = len(self.tr_parents)
+        K = hc.topk
+        V = cfg.vocab_size
+        max_depth = int(self.tr_depths.max())
+        levels = [np.nonzero(self.tr_depths == dd)[0]
+                  for dd in range(max_depth + 1)]
+        tr_parents = self.tr_parents
+        tr_rank = self.tr_rank
+        corpus = self.corpus
+        corpus_len = self.corpus_len
+        chain_parents = jnp.concatenate([
+            jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
+            jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])  # padded chain
+        tree_parents_packed = jnp.concatenate([
+            jnp.asarray(tr_parents),
+            jnp.arange(N, M, dtype=jnp.int32)])
+
+        def retrieval_draft(history, hist_len, start):
+            qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
+            query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)],
+                              -1)
+            query = jnp.concatenate([query, start[None]])
+            tidx = hist_len - (Q - 1) - hc.ext + jnp.arange(hc.ext)
+            tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
+            tail_len = jnp.clip(hist_len - (Q - 1), 0, hc.ext)
+            m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=hc.ext)
+            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=hc.ext)
+            m_cor_adj = m_cor - hc.len_bias
+            use_dyn = m_dyn >= m_cor_adj
+            match = jnp.maximum(m_dyn, m_cor_adj)
+            src = jnp.where(use_dyn, e_dyn, e_cor)
+            src_len = jnp.where(use_dyn, hist_len, corpus_len)
+            cidx = src + 1 + jnp.arange(M - 1)
+            cont = jnp.where(use_dyn,
+                             history[jnp.clip(cidx, 0, S - 1)],
+                             corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)])
+            avail = jnp.clip(src_len - (src + 1), 0, hc.n_predicts - 1)
+            # fixed-length chain like the reference hybrid (zero-padded to
+            # n_predicts, /root/reference/samd/sam/dyn_sam.py:107-113) —
+            # nodes beyond `avail` carry -1 and can never be accepted
+            keep = jnp.arange(M - 1) < avail
+            tokens = jnp.concatenate([
+                start[None], jnp.where(keep, cont, -1)]).astype(jnp.int32)
+            chain_len = (1 + avail).astype(jnp.int32)
+            # invalidate chain positions beyond n_predicts
+            tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
+            return match, tokens, jnp.minimum(chain_len, hc.n_predicts)
+
+        def tr_draft(harvest, seen, start):
+            tokens = jnp.full((M,), -1, jnp.int32).at[0].set(start)
+            valid = jnp.zeros((M,), bool).at[0].set(True)
+            for dd in range(1, max_depth + 1):
+                nodes = levels[dd]
+                par = tr_parents[nodes]
+                ptok = tokens[par]
+                ok = valid[par] & (ptok >= 0) & seen[jnp.maximum(ptok, 0)]
+                preds = harvest[jnp.maximum(ptok, 0)]
+                t = preds[jnp.arange(len(nodes)), tr_rank[nodes]]
+                tokens = tokens.at[nodes].set(jnp.where(ok, t, -1))
+                valid = valid.at[nodes].set(ok)
+            return tokens
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+        def fused(params, kv_k, kv_v, harvest, seen, history, hist_len,
+                  start_token, budget, eos_id):
+            def cond(st):
+                (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
+                 done, steps, sam_steps) = st
+                return (~done & (steps < hc.steps_per_call) & (budget > 0)
+                        & (hist_len + M <= S))
+
+            def body(st):
+                (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
+                 done, steps, sam_steps) = st
+                match, chain_tokens, chain_len = retrieval_draft(
+                    history, hist_len, start)
+                use_sam = match >= hc.len_threshold
+                tree_tokens = tr_draft(harvest, seen, start)
+                draft_tokens = jnp.where(use_sam, chain_tokens, tree_tokens)
+                parents = jnp.where(use_sam, chain_parents,
+                                    tree_parents_packed)
+                packed = jnp.stack([jnp.maximum(draft_tokens, 0), parents])
+                toks, tree_mask, depths, paths = unpack_draft(packed, M)
+                # kill invalid (-1) nodes from acceptance by rewriting their
+                # tokens to -1 in the accept comparison
+                cand_tokens = draft_tokens
+                mask = block_decode_mask(tree_mask, hist_len, S)
+                logits, _, kv_k, kv_v = forward(
+                    params, cfg, toks[None], depths[None, :] + hist_len,
+                    kv_k, kv_v, hist_len, mask)
+                res = greedy_accept(logits[0], cand_tokens, paths)
+                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M)
+                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M)
+                # Token-Recycle harvest of the whole block
+                topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                rows = jnp.where(draft_tokens >= 0, draft_tokens, V)
+                harvest = harvest.at[rows].set(topk)
+                seen = seen.at[rows].set(True).at[V].set(False)
+                # commit
+                alen = res.accept_len
+                acc = jnp.maximum(res.accepted_tokens, 0)
+                D = acc.shape[0]
+                is_eos = (acc == eos_id) & (jnp.arange(D) < alen)
+                any_eos = jnp.any(is_eos)
+                alen = jnp.where(any_eos,
+                                 jnp.argmax(is_eos).astype(jnp.int32) + 1,
+                                 alen)
+                history = jax.lax.dynamic_update_slice(history, acc,
+                                                       (hist_len,))
+                hist_len = hist_len + alen
+                budget = budget - alen
+                done = any_eos | (budget <= 0)
+                return (kv_k, kv_v, harvest, seen, history, hist_len,
+                        res.next_token, budget, done, steps + 1,
+                        sam_steps + use_sam.astype(jnp.int32))
+
+            init = (kv_k, kv_v, harvest, seen, history, hist_len, start_token,
+                    budget, jnp.bool_(False), jnp.int32(0), jnp.int32(0))
+            return jax.lax.while_loop(cond, body, init)
+
+        return fused
+
+    # ------------------------------------------------------------------
+    def generate(self, input_ids: Sequence[int],
+                 gen_config: Optional[GenerationConfig] = None) -> Outputs:
+        gen = gen_config or GenerationConfig()
+        input_ids = list(input_ids)
+        P = _bucket(len(input_ids), self.prefill_buckets)
+        if P not in self._prefill_fns:
+            self._prefill_fns[P] = self._build_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(input_ids)] = input_ids
+        (self.kv_k, self.kv_v, self.harvest, self.seen, next_token) = \
+            self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
+                                 self.harvest, self.seen, jnp.asarray(padded),
+                                 jnp.int32(len(input_ids)))
+
+        history = jnp.zeros((self.S,), jnp.int32)
+        history = jax.lax.dynamic_update_slice(
+            history, jnp.asarray(input_ids, jnp.int32), (0,))
+        hist_len = jnp.int32(len(input_ids))
+        budget = jnp.int32(gen.max_new_tokens)
+        start = next_token
+        done = False
+        decode_steps = 0
+        self.sam_steps = 0
+        while not done:
+            (self.kv_k, self.kv_v, self.harvest, self.seen, history, hist_len,
+             start, budget, done_d, steps, sam_steps) = self._fused(
+                self.params, self.kv_k, self.kv_v, self.harvest, self.seen,
+                history, hist_len, start, budget,
+                jnp.int32(self.eos_token_id))
+            decode_steps += int(steps)
+            self.sam_steps += int(sam_steps)
+            done = bool(done_d) or int(steps) == 0 or \
+                int(hist_len) + self.cfg.max_block > self.S
+        out = np.asarray(history)[:int(hist_len)].tolist()
+        gen_part = out[len(input_ids):]
+        if self.eos_token_id in gen_part:
+            gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
+        gen_part = gen_part[:gen.max_new_tokens]
+        return Outputs(input_ids + gen_part, len(gen_part), decode_steps, [])
