@@ -207,6 +207,20 @@ def main():
     log(f"fused-sam: {fs_tps:.1f} tok/s, accept {fs_tok/max(fs_steps,1):.2f}, "
         f"overlap trajectory equal {fs_equal}/2")
 
+    # --- INT8 weight-only fused-sam (serving dtype) -----------------------
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    qparams = quantize_llama_params(params)
+    fsq = FusedSamEngine(cfg, qparams, fscfg, corpus=fs_corpus,
+                         max_cache_len=MAX_CACHE, eos_token_id=-1,
+                         prefill_buckets=(128,))
+    fsq.generate(prompts[0][:64],
+                 GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
+    _, q_tok, q_steps, q_dt = timed_generate(
+        fsq, overlap_prompts + fresh_prompts, gen)
+    q_tps = q_tok / q_dt
+    log(f"int8 fused-sam: {q_tps:.1f} tok/s")
+
     # --- batched fused-sam (batching × fusion) ----------------------------
     from samd_tpu.fused_sam import BatchedFusedSamEngine
 
@@ -261,6 +275,7 @@ def main():
             "token_recycle_hybrid_speedup": round(tr_tps / ar_tps, 4),
             "token_recycle_mean_accept": round(tr_tok / max(tr_steps, 1), 3),
             "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
+            "int8_fused_sam_tokens_per_s": round(q_tps, 2),
             "batched_samd_tokens_per_s": round(btok / bdt, 2),
             "batched_fused_sam_tokens_per_s": round(bfs_tps, 2),
             "batched_fused_sam_speedup": round(bfs_tps / ar_tps, 4),
