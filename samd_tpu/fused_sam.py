@@ -103,6 +103,47 @@ def suffix_match(buffer: jax.Array, buf_len: jax.Array, query: jax.Array,
     return match.astype(jnp.int32), end
 
 
+
+
+def chain_sampling_accept(warped: jax.Array, draft_tokens: jax.Array,
+                          draft_len: jax.Array, key: jax.Array):
+    """Speculative rejection sampling along a chain draft (deterministic
+    proposal, q=1): accept token i w.p. p_i-1(token); on first rejection
+    sample the bonus from the renormalized residual; if everything accepted,
+    sample from the last accepted node's distribution.  Preserves the target
+    distribution exactly (cf. verify.sampling_accept for trees).
+
+    warped: [M, V] processed logits; returns (accept_len, bonus_token)."""
+    M, V = warped.shape
+    keys = jax.random.split(key, M + 1)
+
+    def step(i, carry):
+        alen, done, residual, use_res = carry
+        active = (~done) & (i < draft_len) & (alen == i)
+        p = jax.nn.softmax(warped[i - 1])
+        tok = draft_tokens[i]
+        u = jax.random.uniform(keys[i])
+        accept = u <= p[tok]
+        new_alen = jnp.where(active & accept, alen + 1, alen)
+        rejected = active & ~accept
+        res = p.at[tok].set(0.0)
+        res = res / jnp.maximum(res.sum(), 1e-20)
+        residual = jnp.where(rejected, res, residual)
+        use_res = use_res | rejected
+        done = done | rejected
+        return new_alen, done, residual, use_res
+
+    alen, done, residual, use_res = jax.lax.fori_loop(
+        1, M, step,
+        (jnp.int32(1), jnp.bool_(False), jnp.zeros((V,), jnp.float32),
+         jnp.bool_(False)))
+    final = jnp.where(use_res, residual,
+                      jax.nn.softmax(warped[alen - 1]))
+    bonus = jax.random.categorical(
+        keys[M], jnp.log(jnp.maximum(final, 1e-20))).astype(jnp.int32)
+    return alen, bonus
+
+
 class FusedSamEngine:
     def __init__(self, model_cfg: ModelConfig, params: Params,
                  fs_cfg: Optional[FusedSamConfig] = None, *,
@@ -129,6 +170,7 @@ class FusedSamEngine:
         self.corpus_len = jnp.int32(n_corpus)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
+        self._fused_sampling: Dict[tuple, callable] = {}
         self.stats_steps = 0
         self.stats_dyn = 0
 
@@ -146,7 +188,8 @@ class FusedSamEngine:
 
         return prefill
 
-    def _build_fused(self):
+    def _build_fused(self, sampling: bool = False, temperature: float = 1.0,
+                     top_p: float = 0.0, top_k: int = 0):
         cfg, S = self.model_cfg, self.S
         fc = self.cfg
         M = fc.block
@@ -192,16 +235,16 @@ class FusedSamEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, history, hist_len, start_token,
-                  budget, eos_id):
+                  budget, eos_id, key):
             def cond(st):
                 (kv_k, kv_v, history, hist_len, start, budget, done, steps,
-                 dyn_steps) = st
+                 dyn_steps, key) = st
                 return (~done & (steps < fc.steps_per_call) & (budget > 0)
                         & (hist_len + M <= S))
 
             def body(st):
                 (kv_k, kv_v, history, hist_len, start, budget, done, steps,
-                 dyn_steps) = st
+                 dyn_steps, key) = st
                 draft_tokens, draft_len, use_dyn = make_draft(
                     history, hist_len, start)
                 s = jnp.arange(S)[None, None, :]
@@ -213,28 +256,45 @@ class FusedSamEngine:
                     params, cfg, jnp.maximum(draft_tokens, 0)[None],
                     chain_pos[None, :] + hist_len, kv_k, kv_v, hist_len,
                     mask)
-                argmax_tok = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-                in_draft = chain_pos < draft_len
-                hit = (draft_tokens[1:] == argmax_tok[:-1]) & in_draft[1:]
-                alen = jnp.cumprod(hit.astype(jnp.int32)).sum() + 1
+                if sampling:
+                    from .verify import _process_logits
+
+                    key, sub = jax.random.split(key)
+                    warped = _process_logits(logits[0], temperature, top_p,
+                                             top_k)
+                    alen, bonus = chain_sampling_accept(
+                        warped, draft_tokens, draft_len, sub)
+                else:
+                    argmax_tok = jnp.argmax(logits[0],
+                                            axis=-1).astype(jnp.int32)
+                    in_draft = chain_pos < draft_len
+                    hit = (draft_tokens[1:] == argmax_tok[:-1]) & \
+                        in_draft[1:]
+                    alen = jnp.cumprod(hit.astype(jnp.int32)).sum() + 1
+                    bonus = None
                 acc = draft_tokens
                 is_eos = (acc == eos_id) & (chain_pos < alen)
                 any_eos = jnp.any(is_eos)
                 alen = jnp.where(any_eos,
                                  jnp.argmax(is_eos).astype(jnp.int32) + 1,
                                  alen)
-                bonus = argmax_tok[alen - 1]
+                if not sampling:
+                    argmax_tok = jnp.argmax(logits[0],
+                                            axis=-1).astype(jnp.int32)
+                    bonus = argmax_tok[alen - 1]
                 history = jax.lax.dynamic_update_slice(history, acc,
                                                        (hist_len,))
                 hist_len = hist_len + alen
                 budget = budget - alen
                 done = any_eos | (budget <= 0)
                 return (kv_k, kv_v, history, hist_len, bonus, budget, done,
-                        steps + 1, dyn_steps + use_dyn.astype(jnp.int32))
+                        steps + 1, dyn_steps + use_dyn.astype(jnp.int32),
+                        key)
 
             init = (kv_k, kv_v, history, hist_len, start_token, budget,
-                    jnp.bool_(False), jnp.int32(0), jnp.int32(0))
-            return jax.lax.while_loop(cond, body, init)
+                    jnp.bool_(False), jnp.int32(0), jnp.int32(0), key)
+            out = jax.lax.while_loop(cond, body, init)
+            return out[:-1]  # drop the key from the returned state
 
         return fused
 
@@ -252,6 +312,17 @@ class FusedSamEngine:
             self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
             jnp.int32(len(input_ids)))
 
+        if gen.greedy:
+            fused = self._fused
+        else:
+            sig = (gen.temperature, gen.top_p, gen.top_k)
+            if sig not in self._fused_sampling:
+                self._fused_sampling[sig] = self._build_fused(
+                    sampling=True, temperature=gen.temperature,
+                    top_p=gen.top_p, top_k=gen.top_k)
+            fused = self._fused_sampling[sig]
+        key = jax.random.PRNGKey(gen.seed)
+
         history = jnp.zeros((self.S,), jnp.int32)
         history = jax.lax.dynamic_update_slice(
             history, jnp.asarray(input_ids, jnp.int32), (0,))
@@ -261,10 +332,11 @@ class FusedSamEngine:
         done = False
         decode_steps = 0
         while not done:
+            key, sub = jax.random.split(key)
             (self.kv_k, self.kv_v, history, hist_len, start, budget, done_d,
-             steps, dyn_steps) = self._fused(
+             steps, dyn_steps) = fused(
                 self.params, self.kv_k, self.kv_v, history, hist_len, start,
-                budget, jnp.int32(self.eos_token_id))
+                budget, jnp.int32(self.eos_token_id), sub)
             decode_steps += int(steps)
             self.stats_dyn += int(dyn_steps)
             done = bool(done_d) or int(steps) == 0 or \

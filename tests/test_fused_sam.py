@@ -168,3 +168,25 @@ def test_batched_fused_sam_with_corpus(tiny_model):
         assert results[rid].output_ids == ref.output_ids
         assert results[rid].decode_steps < ref.decode_steps or \
             results[rid].decode_steps <= 4
+
+
+def test_fused_sam_sampling(tiny_model):
+    """Sampling mode: seed-deterministic, different seeds diverge, budget
+    respected."""
+    cfg, params = tiny_model
+    eng = FusedSamEngine(cfg, params,
+                         FusedSamConfig(n_predicts=15, steps_per_call=8,
+                                        corpus_capacity=256),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    p = np.random.default_rng(7).integers(3, 128, size=20).tolist()
+    gen1 = GenerationConfig(max_new_tokens=24, max_cache_len=256,
+                            greedy=False, temperature=0.8, seed=1)
+    out_a = eng.generate(p, gen1)
+    out_b = eng.generate(p, gen1)
+    assert out_a.output_ids == out_b.output_ids
+    assert out_a.decode_tokens == 24
+    gen2 = GenerationConfig(max_new_tokens=24, max_cache_len=256,
+                            greedy=False, temperature=0.8, seed=99)
+    out_c = eng.generate(p, gen2)
+    assert out_c.output_ids != out_a.output_ids

@@ -87,3 +87,24 @@ def test_top_k_warping_restricts_support():
                         temperature=1.0, top_p=0.0, top_k=k)
     emitted = set(np.nonzero(counts)[0].tolist())
     assert emitted <= top_ids
+
+
+def test_fused_chain_sampler_preserves_distribution():
+    """chain_sampling_accept (fused engines) must also be
+    distribution-preserving: the emitted token at position 1 is either the
+    accepted draft token or the residual-sampled bonus."""
+    from samd_tpu.fused_sam import chain_sampling_accept
+
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(3, V)).astype(np.float32) * 2)
+    target = np.asarray(jax.nn.softmax(logits[0]))
+    draft = jnp.asarray([5, 2, 6], jnp.int32)
+
+    def emitted(key):
+        alen, bonus = chain_sampling_accept(logits, draft, jnp.int32(3), key)
+        return jnp.where(alen >= 2, draft[1], bonus)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N_TRIALS)
+    toks = jax.vmap(emitted)(keys)
+    counts = np.bincount(np.asarray(toks), minlength=V)
+    assert total_variation(counts, target) < TV_TOL
