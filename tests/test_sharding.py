@@ -116,3 +116,39 @@ def test_dp_tp_batched_forward():
         prefill_mask(B, T, S))
     assert logits.shape == (B, T, cfg.vocab_size)
     assert not bool(jax.numpy.isnan(logits).any())
+
+
+def test_sequence_parallel_prefill():
+    """Sequence-sharded prefill: queries split over the tp axis; GSPMD
+    gathers KV — logits must match the unsharded prefill exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from samd_tpu.cache import init_kv_cache
+    from samd_tpu.models.llama import forward, prefill_mask
+
+    cfg = shardable_config()
+    params = init_params(cfg, jax.random.PRNGKey(4), scale=0.4)
+    B, T, S = 1, 32, 64
+    tokens = jax.numpy.asarray(
+        np.random.default_rng(0).integers(3, 256, size=(B, T)),
+        jax.numpy.int32)
+    pos = jax.numpy.arange(T)[None]
+    mask = prefill_mask(B, T, S)
+
+    kv_k, kv_v = init_kv_cache(cfg, B, S)
+    ref, _, _, _ = jax.jit(forward, static_argnums=1)(
+        params, cfg, tokens, pos, kv_k, kv_v, jax.numpy.int32(0), mask)
+
+    mesh = make_mesh(8, dp=1)
+    sp = NamedSharding(mesh, P(None, "tp"))          # sequence over tp
+    sp3 = NamedSharding(mesh, P(None, "tp", None))   # mask rows over tp
+    params_s = shard_params(params, mesh, cfg)
+    kv_k, kv_v = init_kv_cache(cfg, B, S)
+    out, _, _, _ = jax.jit(forward, static_argnums=1)(
+        params_s, cfg, jax.device_put(tokens, sp), jax.device_put(pos, sp),
+        kv_k, kv_v, jax.numpy.int32(0), jax.device_put(mask, sp3))
+    # partitioned reductions may reorder float sums; argmax must agree and
+    # values must match to float tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+    assert (np.asarray(out).argmax(-1) == np.asarray(ref).argmax(-1)).all()
