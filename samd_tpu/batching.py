@@ -245,3 +245,151 @@ class BatchedSamdEngine:
             self._step()
         out, self.results = self.results, {}
         return out
+
+
+# ----------------------------------------------------------------------
+# Paged-KV variant
+# ----------------------------------------------------------------------
+
+class PagedBatchedSamdEngine(BatchedSamdEngine):
+    """BatchedSamdEngine whose persistent KV lives in a shared page pool.
+
+    Per step: gather each slot's pages into the dense working view, run the
+    ordinary batched decode step, scatter the written draft-block region back
+    to pages.  The persistent footprint is ``n_pages × page_size`` tokens of
+    KV shared by all slots (memory scales with live tokens, not
+    B × max_cache_len); the dense view is a transient inside the step.  The
+    extra gather/scatter are async dispatches — on fetch-bound deployments
+    they are hidden behind the step's single blocking download."""
+
+    def __init__(self, *args, n_pages: int = 64, page_size: int = 128,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        from .paged_kv import PagedKVPool, PagedRequest
+
+        if self.S % page_size != 0:
+            raise ValueError("max_cache_len must be a multiple of page_size")
+        self.pool = PagedKVPool(self.model_cfg, n_pages=n_pages,
+                                page_size=page_size)
+        self.page_size = page_size
+        self.page_reqs = [PagedRequest(self.pool, self.S)
+                          for _ in range(self.B)]
+        # the dense arrays become a scratch view; drop the big allocation
+        self.kv_k = self.kv_v = None
+        self._gather_fn = self._build_gather()
+        self._scatter_fn = self._build_scatter()
+
+    def _build_gather(self):
+        from .paged_kv import gather_request
+
+        @functools.partial(jax.jit)
+        def gather(pool_k, pool_v, tables):  # tables: [B, P]
+            ks, vs = jax.vmap(
+                lambda t: gather_request(pool_k, pool_v, t))(tables)
+            # [B, L, 1, KH, S, D] -> [L, B, KH, S, D]
+            return ks[:, :, 0].transpose(1, 0, 2, 3, 4), \
+                vs[:, :, 0].transpose(1, 0, 2, 3, 4)
+
+        return gather
+
+    def _build_scatter(self):
+        from .paged_kv import scatter_block
+
+        M = self.samd_cfg.max_predicts
+        page = self.page_size
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scatter(pool_k, pool_v, kv_k, kv_v, tables, offsets, actives):
+            # write each active slot's draft-block region back to its pages
+            def one(pool, kv, b):
+                blk = jax.lax.dynamic_slice(
+                    kv[:, b][:, None], (0, 0, 0, offsets[b], 0),
+                    (kv.shape[0], 1, kv.shape[2], M, kv.shape[4]))
+                new = scatter_block(pool, tables[b], offsets[b], blk, M)
+                return jnp.where(actives[b], new, pool)
+
+            for b in range(tables.shape[0]):
+                pool_k = one(pool_k, kv_k, b)
+                pool_v = one(pool_v, kv_v, b)
+            return pool_k, pool_v
+
+        return scatter
+
+    def _tables(self):
+        return jnp.stack([r.table() for r in self.page_reqs])
+
+    def _admit(self) -> None:
+        # ensure pages for prompt before the dense-prefill writes are
+        # scattered back
+        for slot_idx, slot in enumerate(self.slots):
+            if slot.active or not self.queue:
+                continue
+            rid, input_ids, gen = self.queue.pop(0)
+            P = _bucket(len(input_ids), self.prefill_buckets)
+            if P not in self._prefill_fns:
+                self._prefill_fns[P] = self._build_prefill(P)
+            padded = np.zeros(P, np.int32)
+            padded[:len(input_ids)] = input_ids
+            req = self.page_reqs[slot_idx]
+            req.release()
+            req.ensure(min(len(input_ids) + self.samd_cfg.max_predicts,
+                           self.S))
+            tables = self._tables()
+            kv_k, kv_v = self._gather_fn(self.pool.k, self.pool.v, tables)
+            kv_k, kv_v, next_token, topk = self._prefill_fns[P](
+                self.params, kv_k, kv_v, jnp.asarray(padded),
+                jnp.int32(len(input_ids)), jnp.int32(slot_idx))
+            # scatter the whole prefilled slot back (page-aligned region)
+            from .paged_kv import scatter_block
+
+            span = -(-P // self.page_size) * self.page_size
+            blk_k = jax.lax.dynamic_slice(
+                kv_k[:, slot_idx][:, None], (0, 0, 0, 0, 0),
+                (kv_k.shape[0], 1, kv_k.shape[2], span, kv_k.shape[4]))
+            blk_v = jax.lax.dynamic_slice(
+                kv_v[:, slot_idx][:, None], (0, 0, 0, 0, 0),
+                (kv_v.shape[0], 1, kv_v.shape[2], span, kv_v.shape[4]))
+            self.pool.k = scatter_block(self.pool.k, req.table(),
+                                        jnp.int32(0), blk_k, span)
+            self.pool.v = scatter_block(self.pool.v, req.table(),
+                                        jnp.int32(0), blk_v, span)
+            req.length = len(input_ids)
+
+            drafter = self.drafter_factory()
+            drafter.reset()
+            wants_harvest = getattr(drafter, "wants_harvest", False)
+            drafter.observe_prompt(
+                input_ids,
+                np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
+            self.slots[slot_idx] = _Slot(
+                request_id=rid, drafter=drafter,
+                cache_len=len(input_ids), start_token=int(next_token),
+                prompt_len=len(input_ids), output=list(input_ids),
+                max_new_tokens=gen.max_new_tokens)
+
+    def _finish(self, slot_idx: int) -> None:
+        self.page_reqs[slot_idx].release()
+        super()._finish(slot_idx)
+
+    def _step(self) -> None:
+        M = self.samd_cfg.max_predicts
+        # grow page tables to cover the upcoming block
+        for i, s in enumerate(self.slots):
+            if s.active and s.cache_len + M <= self.S:
+                self.page_reqs[i].ensure(s.cache_len + M)
+        tables = self._tables()
+        kv_k, kv_v = self._gather_fn(self.pool.k, self.pool.v, tables)
+        self.kv_k, self.kv_v = kv_k, kv_v
+        cache_lens = np.asarray([s.cache_len for s in self.slots], np.int32)
+        actives = np.asarray(
+            [s.active and s.cache_len + M <= self.S for s in self.slots])
+        super()._step()
+        # write the block regions back to pages; the dense view is dropped
+        if self.kv_k is not None:
+            self.pool.k, self.pool.v = self._scatter_fn(
+                self.pool.k, self.pool.v, self.kv_k, self.kv_v, tables,
+                jnp.asarray(cache_lens), jnp.asarray(actives))
+            self.kv_k = self.kv_v = None
+        for i, s in enumerate(self.slots):
+            if s.active:
+                self.page_reqs[i].length = s.cache_len

@@ -110,3 +110,34 @@ def test_staggered_admission(setup):
     for i, rid in enumerate(ids):
         expect = 8 if i % 2 else 24
         assert results[rid].decode_tokens == expect
+
+
+def test_paged_batched_matches_dense(setup):
+    """Paged-pool batched engine must reproduce the dense batched engine's
+    outputs exactly (gather → step → scatter round trip)."""
+    from samd_tpu.batching import PagedBatchedSamdEngine
+
+    cfg, params, samd_cfg = setup
+    gen = GenerationConfig(max_new_tokens=20, max_cache_len=128)
+    ps = prompts(5, seed=9)
+
+    dense = BatchedSamdEngine(
+        cfg, params, samd_cfg,
+        lambda: make_drafter(samd_cfg, cfg.vocab_size),
+        batch_size=2, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,))
+    ids_d = [dense.add_request(p, gen) for p in ps]
+    expected = dense.run()
+
+    paged = PagedBatchedSamdEngine(
+        cfg, params, samd_cfg,
+        lambda: make_drafter(samd_cfg, cfg.vocab_size),
+        batch_size=2, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,), n_pages=16, page_size=16)
+    ids_p = [paged.add_request(p, gen) for p in ps]
+    results = paged.run()
+    for rd, rp in zip(ids_d, ids_p):
+        assert results[rp].output_ids == expected[rd].output_ids
+        assert results[rp].decode_tokens == expected[rd].decode_tokens
+    # pages were recycled: free list restored after all requests finish
+    assert len(paged.pool._free) == 16
