@@ -200,6 +200,8 @@ def main():
     fs = FusedSamEngine(cfg, params, fscfg, corpus=fs_corpus,
                         max_cache_len=MAX_CACHE, eos_token_id=-1,
                         prefill_buckets=(128,))
+    fs.generate(prompts[0][:64],
+                GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
     fs_outs, fs_tok, fs_steps, fs_dt = timed_generate(
         fs, overlap_prompts + fresh_prompts, gen)
     fs_tps = fs_tok / fs_dt
