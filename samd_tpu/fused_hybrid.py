@@ -108,6 +108,7 @@ class FusedHybridEngine:
         self.corpus_len = jnp.int32(n_corpus)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
+        self._fused_sampling: Dict[tuple, callable] = {}
 
     # ------------------------------------------------------------------
     def _build_prefill(self, P: int):
@@ -130,7 +131,8 @@ class FusedHybridEngine:
 
         return prefill
 
-    def _build_fused(self):
+    def _build_fused(self, sampling: bool = False, temperature: float = 1.0,
+                     top_p: float = 0.0, top_k: int = 0):
         cfg, S = self.model_cfg, self.S
         hc = self.cfg
         M = hc.max_block
@@ -201,16 +203,16 @@ class FusedHybridEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def fused(params, kv_k, kv_v, harvest, seen, history, hist_len,
-                  start_token, budget, eos_id):
+                  start_token, budget, eos_id, key):
             def cond(st):
                 (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
-                 done, steps, sam_steps) = st
+                 done, steps, sam_steps, key) = st
                 return (~done & (steps < hc.steps_per_call) & (budget > 0)
                         & (hist_len + M <= S))
 
             def body(st):
                 (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
-                 done, steps, sam_steps) = st
+                 done, steps, sam_steps, key) = st
                 match, chain_tokens, chain_len = retrieval_draft(
                     history, hist_len, start)
                 use_sam = match >= hc.len_threshold
@@ -227,7 +229,15 @@ class FusedHybridEngine:
                 logits, _, kv_k, kv_v = forward(
                     params, cfg, toks[None], depths[None, :] + hist_len,
                     kv_k, kv_v, hist_len, mask)
-                res = greedy_accept(logits[0], cand_tokens, paths)
+                if sampling:
+                    from .verify import sampling_accept
+
+                    key, sub = jax.random.split(key)
+                    res = sampling_accept(
+                        logits[0], cand_tokens, paths, sub,
+                        temperature=temperature, top_p=top_p, top_k=top_k)
+                else:
+                    res = greedy_accept(logits[0], cand_tokens, paths)
                 kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M)
                 kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M)
                 # Token-Recycle harvest of the whole block
@@ -251,11 +261,11 @@ class FusedHybridEngine:
                 done = any_eos | (budget <= 0)
                 return (kv_k, kv_v, harvest, seen, history, hist_len,
                         res.next_token, budget, done, steps + 1,
-                        sam_steps + use_sam.astype(jnp.int32))
+                        sam_steps + use_sam.astype(jnp.int32), key)
 
             init = (kv_k, kv_v, harvest, seen, history, hist_len, start_token,
-                    budget, jnp.bool_(False), jnp.int32(0), jnp.int32(0))
-            return jax.lax.while_loop(cond, body, init)
+                    budget, jnp.bool_(False), jnp.int32(0), jnp.int32(0), key)
+            return jax.lax.while_loop(cond, body, init)[:-1]
 
         return fused
 
@@ -279,16 +289,27 @@ class FusedHybridEngine:
             history, jnp.asarray(input_ids, jnp.int32), (0,))
         hist_len = jnp.int32(len(input_ids))
         budget = jnp.int32(gen.max_new_tokens)
+        if gen.greedy:
+            fused = self._fused
+        else:
+            sig = (gen.temperature, gen.top_p, gen.top_k)
+            if sig not in self._fused_sampling:
+                self._fused_sampling[sig] = self._build_fused(
+                    sampling=True, temperature=gen.temperature,
+                    top_p=gen.top_p, top_k=gen.top_k)
+            fused = self._fused_sampling[sig]
+        key = jax.random.PRNGKey(gen.seed)
         start = next_token
         done = False
         decode_steps = 0
         self.sam_steps = 0
         while not done:
+            key, sub = jax.random.split(key)
             (self.kv_k, self.kv_v, self.harvest, self.seen, history, hist_len,
-             start, budget, done_d, steps, sam_steps) = self._fused(
+             start, budget, done_d, steps, sam_steps) = fused(
                 self.params, self.kv_k, self.kv_v, self.harvest, self.seen,
                 history, hist_len, start, budget,
-                jnp.int32(self.eos_token_id))
+                jnp.int32(self.eos_token_id), sub)
             decode_steps += int(steps)
             self.sam_steps += int(sam_steps)
             done = bool(done_d) or int(steps) == 0 or \

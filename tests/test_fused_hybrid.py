@@ -71,3 +71,26 @@ def test_hybrid_tree_branch_on_deterministic_stream(tiny_model):
                                            max_cache_len=512))
     assert out.output_ids[len(p):] == [0] * 40
     assert out.decode_steps < 20
+
+
+def test_hybrid_sampling_mode(tiny_model):
+    """Seeded sampling is reproducible on a fresh engine (the harvest table
+    deliberately persists across requests, like the reference's TokenRecycle
+    cache, so repeat runs on one engine may draft differently)."""
+    cfg, params = tiny_model
+    p = np.random.default_rng(3).integers(3, 128, size=18).tolist()
+    gen1 = GenerationConfig(max_new_tokens=20, max_cache_len=256,
+                            greedy=False, temperature=0.8, seed=5)
+
+    def fresh():
+        return FusedHybridEngine(cfg, params, small_cfg(), max_cache_len=256,
+                                 eos_token_id=-1, prefill_buckets=(32,))
+
+    a = fresh().generate(p, gen1)
+    b = fresh().generate(p, gen1)
+    assert a.output_ids == b.output_ids
+    assert a.decode_tokens == 20
+    gen2 = GenerationConfig(max_new_tokens=20, max_cache_len=256,
+                            greedy=False, temperature=0.8, seed=6)
+    c = fresh().generate(p, gen2)
+    assert c.output_ids != a.output_ids
