@@ -1,0 +1,78 @@
+"""Shared pieces of the fused device-resident engines."""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fused_sam import suffix_match
+
+
+def make_retrieval_draft(*, S: int, corpus: jax.Array, corpus_len: jax.Array,
+                         max_ngram: int, ext: int, len_bias: int,
+                         block: int):
+    """Build the shared history+corpus longest-suffix retrieval drafter.
+
+    Returns ``draft(history, hist_len, start) -> (match, use_dyn, tokens
+    [block], cont_avail)`` where ``tokens[0] == start`` and positions beyond
+    the available continuation carry the raw (unclipped) gather — callers
+    apply their own length policy (adaptive alpha, fixed n_predicts, ...)."""
+    Q = max_ngram
+    M = block
+
+    def draft(history, hist_len, start):
+        qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
+        query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)], -1)
+        query = jnp.concatenate([query, start[None]])
+        tidx = hist_len - (Q - 1) - ext + jnp.arange(ext)
+        tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
+        tail_len = jnp.clip(hist_len - (Q - 1), 0, ext)
+        m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
+                                    tail_len, max_ngram=Q, ext=ext)
+        m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
+                                    tail_len, max_ngram=Q, ext=ext)
+        m_cor_adj = m_cor - len_bias
+        use_dyn = m_dyn >= m_cor_adj
+        match = jnp.maximum(m_dyn, m_cor_adj)
+        src = jnp.where(use_dyn, e_dyn, e_cor)
+        src_len = jnp.where(use_dyn, hist_len, corpus_len)
+        cidx = src + 1 + jnp.arange(M - 1)
+        cont = jnp.where(use_dyn,
+                         history[jnp.clip(cidx, 0, S - 1)],
+                         corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)])
+        cont_avail = jnp.clip(src_len - (src + 1), 0, M - 1)
+        tokens = jnp.concatenate([start[None], cont]).astype(jnp.int32)
+        return match, use_dyn, tokens, cont_avail
+
+    return draft
+
+
+def load_corpus_buffer(corpus, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Pack an optional token list into the fixed-capacity device buffer."""
+    buf = np.full((capacity,), -1, np.int32)
+    n = 0
+    if corpus is not None and len(corpus) > 0:
+        n = min(len(corpus), capacity)
+        buf[:n] = np.asarray(corpus[:n], np.int32)
+    return jnp.asarray(buf), jnp.int32(n)
+
+
+def finalize_generation(history: jax.Array, hist_len: int,
+                        prompt_len: int, eos_token_id: int,
+                        max_new_tokens: int) -> List[int]:
+    """Fetch the committed history and apply the EOS/budget trim (shared
+    tail of every fused engine's generate())."""
+    out = np.asarray(history)[:hist_len].tolist()
+    gen_part = out[prompt_len:]
+    if eos_token_id in gen_part:
+        gen_part = gen_part[:gen_part.index(eos_token_id) + 1]
+    return out[:prompt_len] + gen_part[:max_new_tokens]
+
+
+def init_history(input_ids: Sequence[int], S: int) -> jax.Array:
+    history = jnp.zeros((S,), jnp.int32)
+    return jax.lax.dynamic_update_slice(
+        history, jnp.asarray(list(input_ids), jnp.int32), (0,))

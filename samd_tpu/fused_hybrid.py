@@ -98,14 +98,10 @@ class FusedHybridEngine:
         V = model_cfg.vocab_size
         self.harvest = jnp.zeros((V + 1, self.cfg.topk), jnp.int32)
         self.seen = jnp.zeros((V + 1,), bool)
-        cap = self.cfg.corpus_capacity
-        buf = np.full((cap,), -1, np.int32)
-        n_corpus = 0
-        if corpus is not None and len(corpus) > 0:
-            n_corpus = min(len(corpus), cap)
-            buf[:n_corpus] = np.asarray(corpus[:n_corpus], np.int32)
-        self.corpus = jnp.asarray(buf)
-        self.corpus_len = jnp.int32(n_corpus)
+        from .fused_base import load_corpus_buffer
+
+        self.corpus, self.corpus_len = load_corpus_buffer(
+            corpus, self.cfg.corpus_capacity)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -154,38 +150,25 @@ class FusedHybridEngine:
             jnp.asarray(tr_parents),
             jnp.arange(N, M, dtype=jnp.int32)])
 
+        from .fused_base import make_retrieval_draft
+
+        retrieve = make_retrieval_draft(
+            S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
+            ext=hc.ext, len_bias=hc.len_bias, block=M)
+
         def retrieval_draft(history, hist_len, start):
-            qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
-            query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)],
-                              -1)
-            query = jnp.concatenate([query, start[None]])
-            tidx = hist_len - (Q - 1) - hc.ext + jnp.arange(hc.ext)
-            tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
-            tail_len = jnp.clip(hist_len - (Q - 1), 0, hc.ext)
-            m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
-                                        tail_len, max_ngram=Q, ext=hc.ext)
-            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
-                                        tail_len, max_ngram=Q, ext=hc.ext)
-            m_cor_adj = m_cor - hc.len_bias
-            use_dyn = m_dyn >= m_cor_adj
-            match = jnp.maximum(m_dyn, m_cor_adj)
-            src = jnp.where(use_dyn, e_dyn, e_cor)
-            src_len = jnp.where(use_dyn, hist_len, corpus_len)
-            cidx = src + 1 + jnp.arange(M - 1)
-            cont = jnp.where(use_dyn,
-                             history[jnp.clip(cidx, 0, S - 1)],
-                             corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)])
-            avail = jnp.clip(src_len - (src + 1), 0, hc.n_predicts - 1)
-            # fixed-length chain like the reference hybrid (zero-padded to
-            # n_predicts, /root/reference/samd/sam/dyn_sam.py:107-113) —
-            # nodes beyond `avail` carry -1 and can never be accepted
+            match, use_dyn, raw, cont_avail = retrieve(history, hist_len,
+                                                       start)
+            # fixed-length chain like the reference hybrid
+            # (/root/reference/samd/sam/dyn_sam.py:107-113); nodes beyond the
+            # available continuation or n_predicts carry -1 and can never be
+            # accepted
+            avail = jnp.minimum(cont_avail, hc.n_predicts - 1)
             keep = jnp.arange(M - 1) < avail
             tokens = jnp.concatenate([
-                start[None], jnp.where(keep, cont, -1)]).astype(jnp.int32)
-            chain_len = (1 + avail).astype(jnp.int32)
-            # invalidate chain positions beyond n_predicts
+                raw[:1], jnp.where(keep, raw[1:], -1)]).astype(jnp.int32)
             tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
-            return match, tokens, jnp.minimum(chain_len, hc.n_predicts)
+            return match, tokens, (1 + avail).astype(jnp.int32)
 
         def tr_draft(harvest, seen, start):
             tokens = jnp.full((M,), -1, jnp.int32).at[0].set(start)
@@ -284,9 +267,9 @@ class FusedHybridEngine:
                                  self.harvest, self.seen, jnp.asarray(padded),
                                  jnp.int32(len(input_ids)))
 
-        history = jnp.zeros((self.S,), jnp.int32)
-        history = jax.lax.dynamic_update_slice(
-            history, jnp.asarray(input_ids, jnp.int32), (0,))
+        from .fused_base import init_history
+
+        history = init_history(input_ids, self.S)
         hist_len = jnp.int32(len(input_ids))
         budget = jnp.int32(gen.max_new_tokens)
         if gen.greedy:
@@ -314,9 +297,9 @@ class FusedHybridEngine:
             self.sam_steps += int(sam_steps)
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.cfg.max_block > self.S
-        out = np.asarray(history)[:int(hist_len)].tolist()
-        gen_part = out[len(input_ids):]
-        if self.eos_token_id in gen_part:
-            gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
-        gen_part = gen_part[:gen.max_new_tokens]
-        return Outputs(input_ids + gen_part, len(gen_part), decode_steps, [])
+        from .fused_base import finalize_generation
+
+        output = finalize_generation(history, int(hist_len), len(input_ids),
+                                     self.eos_token_id, gen.max_new_tokens)
+        return Outputs(output, len(output) - len(input_ids), decode_steps,
+                       [])

@@ -160,14 +160,10 @@ class FusedSamEngine:
         from .cache import init_kv_cache
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
-        cap = self.cfg.corpus_capacity
-        buf = np.full((cap,), -1, np.int32)
-        n_corpus = 0
-        if corpus is not None and len(corpus) > 0:
-            n_corpus = min(len(corpus), cap)
-            buf[:n_corpus] = np.asarray(corpus[:n_corpus], np.int32)
-        self.corpus = jnp.asarray(buf)
-        self.corpus_len = jnp.int32(n_corpus)
+        from .fused_base import load_corpus_buffer
+
+        self.corpus, self.corpus_len = load_corpus_buffer(
+            corpus, self.cfg.corpus_capacity)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -190,6 +186,8 @@ class FusedSamEngine:
 
     def _build_fused(self, sampling: bool = False, temperature: float = 1.0,
                      top_p: float = 0.0, top_k: int = 0):
+        from .fused_base import make_retrieval_draft
+
         cfg, S = self.model_cfg, self.S
         fc = self.cfg
         M = fc.block
@@ -199,38 +197,20 @@ class FusedSamEngine:
         corpus = self.corpus
         corpus_len = self.corpus_len
 
-        def make_draft(history, hist_len, start):
-            # query window = last Q-1 history tokens + start (-1 pad left)
-            qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
-            query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)],
-                              -1)
-            query = jnp.concatenate([query, start[None]])
-            # extension context = tokens before the window
-            tidx = hist_len - (Q - 1) - fc.ext + jnp.arange(fc.ext)
-            tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
-            tail_len = jnp.clip(hist_len - (Q - 1), 0, fc.ext)
+        retrieve = make_retrieval_draft(
+            S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
+            ext=fc.ext, len_bias=fc.len_bias, block=M)
 
-            m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
-                                        tail_len, max_ngram=Q, ext=fc.ext)
-            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
-                                        tail_len, max_ngram=Q, ext=fc.ext)
-            m_cor_adj = m_cor - fc.len_bias
-            use_dyn = m_dyn >= m_cor_adj
-            match = jnp.where(use_dyn, m_dyn, m_cor_adj)
+        def make_draft(history, hist_len, start):
+            match, use_dyn, tokens, cont_avail = retrieve(
+                history, hist_len, start)
+            # adaptive draft length n = 1 + match * alpha (sam_only policy)
             n = jnp.minimum(fc.n_predicts + 1,
                             1 + (match.astype(jnp.float32)
                                  * fc.alpha).astype(jnp.int32))
-            src = jnp.where(use_dyn, e_dyn, e_cor)
-            src_len = jnp.where(use_dyn, hist_len, corpus_len)
-            cidx = src + 1 + jnp.arange(M - 1)
-            cont_dyn = history[jnp.clip(cidx, 0, S - 1)]
-            cont_cor = corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)]
-            cont = jnp.where(use_dyn, cont_dyn, cont_cor)
-            cont_avail = jnp.clip(src_len - (src + 1), 0, M - 1)
             draft_len = jnp.where(match > 0,
                                   jnp.minimum(n, 1 + cont_avail),
                                   1).astype(jnp.int32)
-            tokens = jnp.concatenate([start[None], cont]).astype(jnp.int32)
             return tokens, draft_len, use_dyn
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
@@ -323,9 +303,9 @@ class FusedSamEngine:
             fused = self._fused_sampling[sig]
         key = jax.random.PRNGKey(gen.seed)
 
-        history = jnp.zeros((self.S,), jnp.int32)
-        history = jax.lax.dynamic_update_slice(
-            history, jnp.asarray(input_ids, jnp.int32), (0,))
+        from .fused_base import init_history
+
+        history = init_history(input_ids, self.S)
         hist_len = jnp.int32(len(input_ids))
         budget = jnp.int32(gen.max_new_tokens)
         start = next_token
@@ -342,12 +322,12 @@ class FusedSamEngine:
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.cfg.block > self.S
         self.stats_steps += decode_steps
-        out = np.asarray(history)[:int(hist_len)].tolist()
-        gen_part = out[len(input_ids):]
-        if self.eos_token_id in gen_part:
-            gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
-        gen_part = gen_part[:gen.max_new_tokens]
-        return Outputs(input_ids + gen_part, len(gen_part), decode_steps, [])
+        from .fused_base import finalize_generation
+
+        output = finalize_generation(history, int(hist_len), len(input_ids),
+                                     self.eos_token_id, gen.max_new_tokens)
+        return Outputs(output, len(output) - len(input_ids), decode_steps,
+                       [])
 
 
 # ----------------------------------------------------------------------
@@ -381,14 +361,10 @@ class BatchedFusedSamEngine:
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
                                              max_cache_len)
-        cap = self.cfg.corpus_capacity
-        buf = np.full((cap,), -1, np.int32)
-        n_corpus = 0
-        if corpus is not None and len(corpus) > 0:
-            n_corpus = min(len(corpus), cap)
-            buf[:n_corpus] = np.asarray(corpus[:n_corpus], np.int32)
-        self.corpus = jnp.asarray(buf)
-        self.corpus_len = jnp.int32(n_corpus)
+        from .fused_base import load_corpus_buffer
+
+        self.corpus, self.corpus_len = load_corpus_buffer(
+            corpus, self.cfg.corpus_capacity)
 
         self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
         self._prefill_fns = {}
@@ -425,6 +401,8 @@ class BatchedFusedSamEngine:
         return prefill
 
     def _build_fused(self):
+        from .fused_base import make_retrieval_draft
+
         cfg, S, B = self.model_cfg, self.S, self.B
         fc = self.cfg
         M = fc.block
@@ -434,35 +412,19 @@ class BatchedFusedSamEngine:
         corpus = self.corpus
         corpus_len = self.corpus_len
 
+        retrieve = make_retrieval_draft(
+            S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
+            ext=fc.ext, len_bias=fc.len_bias, block=M)
+
         def make_draft(history, hist_len, start):
-            qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
-            query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)],
-                              -1)
-            query = jnp.concatenate([query, start[None]])
-            tidx = hist_len - (Q - 1) - fc.ext + jnp.arange(fc.ext)
-            tail = jnp.where(tidx >= 0, history[jnp.clip(tidx, 0, S - 1)], -1)
-            tail_len = jnp.clip(hist_len - (Q - 1), 0, fc.ext)
-            m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
-                                        tail_len, max_ngram=Q, ext=fc.ext)
-            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
-                                        tail_len, max_ngram=Q, ext=fc.ext)
-            m_cor_adj = m_cor - fc.len_bias
-            use_dyn = m_dyn >= m_cor_adj
-            match = jnp.where(use_dyn, m_dyn, m_cor_adj)
+            match, use_dyn, tokens, cont_avail = retrieve(
+                history, hist_len, start)
             n = jnp.minimum(fc.n_predicts + 1,
                             1 + (match.astype(jnp.float32)
                                  * fc.alpha).astype(jnp.int32))
-            src = jnp.where(use_dyn, e_dyn, e_cor)
-            src_len = jnp.where(use_dyn, hist_len, corpus_len)
-            cidx = src + 1 + jnp.arange(M - 1)
-            cont_dyn = history[jnp.clip(cidx, 0, S - 1)]
-            cont_cor = corpus[jnp.clip(cidx, 0, corpus.shape[0] - 1)]
-            cont = jnp.where(use_dyn, cont_dyn, cont_cor)
-            cont_avail = jnp.clip(src_len - (src + 1), 0, M - 1)
             draft_len = jnp.where(match > 0,
                                   jnp.minimum(n, 1 + cont_avail),
                                   1).astype(jnp.int32)
-            tokens = jnp.concatenate([start[None], cont]).astype(jnp.int32)
             return tokens, draft_len
 
         def slot_mask(hist_len, draft_len):

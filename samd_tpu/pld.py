@@ -205,9 +205,9 @@ class PldEngine:
             self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
             jnp.int32(len(input_ids)))
 
-        history = jnp.zeros((self.S,), jnp.int32)
-        history = jax.lax.dynamic_update_slice(
-            history, jnp.asarray(input_ids, jnp.int32), (0,))
+        from .fused_base import init_history
+
+        history = init_history(input_ids, self.S)
         hist_len = jnp.int32(len(input_ids))
         budget = jnp.int32(gen.max_new_tokens)
         start = next_token
@@ -221,12 +221,9 @@ class PldEngine:
             decode_steps += int(steps)
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.cfg.block > self.S
-        new_len = int(hist_len)
-        out = np.asarray(history)[:new_len].tolist()
-        gen_part = out[len(input_ids):]
-        # trim overshoot + cut at EOS like the host engine
-        if self.eos_token_id in gen_part:
-            gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
-        gen_part = gen_part[:gen.max_new_tokens]
-        output = input_ids + gen_part
-        return Outputs(output, len(gen_part), decode_steps, [])
+        from .fused_base import finalize_generation
+
+        output = finalize_generation(history, int(hist_len), len(input_ids),
+                                     self.eos_token_id, gen.max_new_tokens)
+        return Outputs(output, len(output) - len(input_ids), decode_steps,
+                       [])

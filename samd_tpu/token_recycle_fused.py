@@ -217,9 +217,9 @@ class FusedTokenRecycleEngine:
                                  self.harvest, self.seen, jnp.asarray(padded),
                                  jnp.int32(len(input_ids)))
 
-        history = jnp.zeros((self.S,), jnp.int32)
-        history = jax.lax.dynamic_update_slice(
-            history, jnp.asarray(input_ids, jnp.int32), (0,))
+        from .fused_base import init_history
+
+        history = init_history(input_ids, self.S)
         hist_len = jnp.int32(len(input_ids))
         budget = jnp.int32(gen.max_new_tokens)
         start = next_token
@@ -234,9 +234,9 @@ class FusedTokenRecycleEngine:
             decode_steps += int(steps)
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.N > self.S
-        out = np.asarray(history)[:int(hist_len)].tolist()
-        gen_part = out[len(input_ids):]
-        if self.eos_token_id in gen_part:
-            gen_part = gen_part[:gen_part.index(self.eos_token_id) + 1]
-        gen_part = gen_part[:gen.max_new_tokens]
-        return Outputs(input_ids + gen_part, len(gen_part), decode_steps, [])
+        from .fused_base import finalize_generation
+
+        output = finalize_generation(history, int(hist_len), len(input_ids),
+                                     self.eos_token_id, gen.max_new_tokens)
+        return Outputs(output, len(output) - len(input_ids), decode_steps,
+                       [])
