@@ -121,3 +121,17 @@ def run_eval(engine, questions: Sequence[Question], out_path: str, *,
         "tokens_per_s": total_tokens / total_time if total_time else 0.0,
         "mean_accepted_tokens": mean_accept,
     }
+
+
+def reorg_answer_file(path: str) -> None:
+    """Deduplicate (last answer wins) and sort an answer JSONL by
+    question_id — the reference's eval-resume mechanism
+    (/root/reference/evaluation/eval_vicuna.py:247-258)."""
+    answers = {}
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                answers[json.loads(line)["question_id"]] = line
+    with open(path, "w") as f:
+        for qid in sorted(answers):
+            f.write(answers[qid])

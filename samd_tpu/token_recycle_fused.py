@@ -2,7 +2,7 @@
 
 The reference's standalone Token-Recycle baseline
 (/root/reference/evaluation/model/token_recycle/) keeps a host dict of top-K
-continuations and rebuilds the draft tree in Python每 step.  Everything it
+continuations and rebuilds the draft tree in Python every step.  Everything it
 needs — the ``[vocab, K]`` harvest table, the static tree topology, the
 verify/accept math — is device-representable, so like the PLD engine
 (samd_tpu.pld) the whole decode loop runs in ONE ``lax.while_loop`` with zero

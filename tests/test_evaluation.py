@@ -93,3 +93,19 @@ def test_multi_turn_context_carries(setup):
     with open(path) as f:
         row = json.loads(f.readline())
     assert len(row["choices"][0]["turns"]) == 2
+
+
+def test_reorg_answer_file(tmp_path):
+    from samd_tpu.evaluation import reorg_answer_file
+
+    path = tmp_path / "a.jsonl"
+    rows = [{"question_id": 2, "v": "old"},
+            {"question_id": 1, "v": "x"},
+            {"question_id": 2, "v": "new"}]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    reorg_answer_file(str(path))
+    got = [json.loads(l) for l in open(path)]
+    assert [g["question_id"] for g in got] == [1, 2]
+    assert got[1]["v"] == "new"
