@@ -131,3 +131,27 @@ def test_native_in_engine_equality():
         outs.append(eng.generate(prompt, gen))
     assert outs[0].output_ids == outs[1].output_ids
     assert outs[0].accept_length_per_step == outs[1].accept_length_per_step
+
+
+def test_sam_cursor_over_native_engine():
+    """SamCursor (shared-corpus per-request cursors) must behave identically
+    over the C++ engine and the Python engine."""
+    from samd_tpu.sam import SamCursor
+
+    rng = random.Random(21)
+    corpus = [random_tokens(rng, 60, 6) for _ in range(4)]
+    py = build_corpus_sam(corpus, eos_token=0, topk=4)
+    cc = NativeSuffixAutomaton(track_counts=True)
+    cc.index_corpus(corpus, eos_token=0)
+    cc.finalize_topk(4)
+
+    cur_py, cur_cc = SamCursor(py), SamCursor(cc)
+    for t in random_tokens(rng, 80, 6):
+        assert cur_cc.peek(t) == cur_py.peek(t)
+        cur_py.advance_cursor(t)
+        cur_cc.advance_cursor(t)
+        assert (cur_cc.cur_state, cur_cc.cur_length) == \
+            (cur_py.cur_state, cur_py.cur_length)
+    s = cur_py.cur_state
+    assert cur_cc.tree_draft(s, 9, 12, 4) == cur_py.tree_draft(s, 9, 12, 4)
+    assert cur_cc.sequence_draft(s, 9, 8) == cur_py.sequence_draft(s, 9, 8)
