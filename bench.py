@@ -226,7 +226,7 @@ def main():
     fsq.generate(prompts[0][:64],
                  GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
     _, q_tok, q_steps, q_dt = timed_generate(
-        fsq, overlap_prompts + fresh_prompts, gen)
+        fsq, overlap_prompts + fresh_prompts, gen, repeats=2)
     q_tps = q_tok / q_dt
     log(f"int8 fused-sam: {q_tps:.1f} tok/s")
 

@@ -44,6 +44,104 @@ from .ops.treeops import unpack_draft
 from .verify import greedy_accept
 
 
+def make_eagle_expand(*, net_cfg, embed, head, S: int, depth: int,
+                      topk: int, total: int, M: int):
+    """Build the EAGLE-2 beam expansion: (net_params, ekv_k, ekv_v,
+    stable_len, last_hidden, start_token) -> (packed [2, M] draft, ekv_k,
+    ekv_v).  Tree scratch KV is written at [stable_len, stable_len +
+    TREE_SLOTS); selection is ancestor-closed by score monotonicity."""
+    K = topk
+    ncfg = net_cfg
+    TREE_SLOTS = 1 + depth * K
+    POOL = 1 + K + (depth - 1) * K * K
+    NEG = jnp.float32(-1e30)
+
+    def head_logp(h):
+        logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def expand(net_params, ekv_k, ekv_v, stable_len, last_hidden,
+               start_token):
+        s_idx = jnp.arange(S)[None, :]
+        mask0 = (s_idx <= stable_len)[None]
+        h0, ekv_k, ekv_v = eagle_forward(
+            net_params, ncfg, embed[start_token][None, None],
+            last_hidden[None, None], stable_len[None, None],
+            ekv_k, ekv_v, stable_len, mask0)
+        lp0 = head_logp(h0[0, 0])
+        val1, tok1 = jax.lax.top_k(lp0, K)
+
+        pool_tokens = jnp.zeros((POOL,), jnp.int32).at[0].set(start_token)
+        pool_parents = jnp.full((POOL,), -1, jnp.int32)
+        pool_scores = jnp.full((POOL,), NEG).at[0].set(0.0)
+        pool_depth = jnp.zeros((POOL,), jnp.int32)
+        idx1 = 1 + jnp.arange(K)
+        pool_tokens = pool_tokens.at[idx1].set(tok1)
+        pool_parents = pool_parents.at[idx1].set(0)
+        pool_scores = pool_scores.at[idx1].set(val1)
+        pool_depth = pool_depth.at[idx1].set(1)
+
+        beam_tokens, beam_scores = tok1, val1
+        beam_hidden = jnp.broadcast_to(h0[0, 0], (K, ncfg.hidden_size))
+        beam_pool_idx = idx1.astype(jnp.int32)
+        anc = jnp.zeros((K, TREE_SLOTS), bool).at[:, 0].set(True)
+        anc = anc.at[jnp.arange(K), 1 + jnp.arange(K)].set(True)
+
+        for lvl in range(1, depth):
+            slots = 1 + (lvl - 1) * K + jnp.arange(K)
+            rel = jnp.clip(s_idx - stable_len, 0, TREE_SLOTS - 1)
+            in_tree = (s_idx >= stable_len) & \
+                (s_idx < stable_len + TREE_SLOTS)
+            anc_now = anc.at[jnp.arange(K), slots].set(True)
+            tree_m = jnp.take_along_axis(
+                anc_now, jnp.broadcast_to(rel, (K, S)), axis=1)
+            mask = ((s_idx < stable_len) | (in_tree & tree_m))[None]
+            pos = (stable_len + lvl) * jnp.ones((1, K), jnp.int32)
+            h, ekv_k, ekv_v = eagle_forward(
+                net_params, ncfg, embed[beam_tokens][None],
+                beam_hidden[None], pos, ekv_k, ekv_v,
+                stable_len + 1 + (lvl - 1) * K, mask)
+            h = h[0]
+            lp = head_logp(h)
+            v, t = jax.lax.top_k(lp, K)
+            cand_scores = (beam_scores[:, None] + v).reshape(-1)
+            cand_tokens = t.reshape(-1)
+            cand_parent_row = jnp.repeat(jnp.arange(K), K)
+            base = 1 + K + (lvl - 1) * K * K
+            cidx = base + jnp.arange(K * K)
+            pool_tokens = pool_tokens.at[cidx].set(cand_tokens)
+            pool_parents = pool_parents.at[cidx].set(
+                beam_pool_idx[cand_parent_row])
+            pool_scores = pool_scores.at[cidx].set(cand_scores)
+            pool_depth = pool_depth.at[cidx].set(lvl + 1)
+            bv, bi = jax.lax.top_k(cand_scores, K)
+            row = cand_parent_row[bi]
+            beam_tokens, beam_scores = cand_tokens[bi], bv
+            beam_hidden = h[row]
+            beam_pool_idx = cidx[bi].astype(jnp.int32)
+            anc = anc_now[row]
+
+        sel_n = total + 1
+        _, sel = jax.lax.top_k(pool_scores, sel_n)
+        key = pool_depth[sel] * POOL + sel
+        order = jnp.argsort(key)
+        sel_sorted = sel[order]
+        new_pos = jnp.full((POOL,), -1, jnp.int32).at[sel_sorted].set(
+            jnp.arange(sel_n, dtype=jnp.int32))
+        par = pool_parents[sel_sorted]
+        parents_new = jnp.where(par >= 0, new_pos[jnp.maximum(par, 0)], -1)
+        tokens_sel = pool_tokens[sel_sorted]
+        packed = jnp.stack([
+            jnp.concatenate([tokens_sel,
+                             jnp.zeros((M - sel_n,), jnp.int32)]),
+            jnp.concatenate([jnp.where(parents_new >= 0, parents_new, -1),
+                             jnp.arange(sel_n, M, dtype=jnp.int32)]),
+        ])
+        return packed, ekv_k, ekv_v
+
+    return expand, TREE_SLOTS
+
+
 class FusedEagle2Engine:
     def __init__(self, model_cfg: ModelConfig, params: Params, *,
                  net_params: Optional[Dict] = None,
@@ -116,88 +214,9 @@ class FusedEagle2Engine:
         head = self._head()
         D_PATH = M  # accepted-path pad (max depth of verify paths)
 
-        def head_logp(h):
-            logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
-            return jax.nn.log_softmax(logits, axis=-1)
-
-        def expand(net_params, ekv_k, ekv_v, stable_len, last_hidden,
-                   start_token):
-            """Beam expansion (same math as Eagle2Drafter._build_expand);
-            returns packed [2, M] draft.  Tree scratch KV is written at
-            [stable_len, stable_len + TREE_SLOTS)."""
-            s_idx = jnp.arange(S)[None, :]
-            mask0 = (s_idx <= stable_len)[None]
-            h0, ekv_k, ekv_v = eagle_forward(
-                net_params, ncfg, embed[start_token][None, None],
-                last_hidden[None, None], stable_len[None, None],
-                ekv_k, ekv_v, stable_len, mask0)
-            lp0 = head_logp(h0[0, 0])
-            val1, tok1 = jax.lax.top_k(lp0, K)
-
-            pool_tokens = jnp.zeros((POOL,), jnp.int32).at[0].set(start_token)
-            pool_parents = jnp.full((POOL,), -1, jnp.int32)
-            pool_scores = jnp.full((POOL,), NEG).at[0].set(0.0)
-            pool_depth = jnp.zeros((POOL,), jnp.int32)
-            idx1 = 1 + jnp.arange(K)
-            pool_tokens = pool_tokens.at[idx1].set(tok1)
-            pool_parents = pool_parents.at[idx1].set(0)
-            pool_scores = pool_scores.at[idx1].set(val1)
-            pool_depth = pool_depth.at[idx1].set(1)
-
-            beam_tokens, beam_scores = tok1, val1
-            beam_hidden = jnp.broadcast_to(h0[0, 0], (K, ncfg.hidden_size))
-            beam_pool_idx = idx1.astype(jnp.int32)
-            anc = jnp.zeros((K, TREE_SLOTS), bool).at[:, 0].set(True)
-            anc = anc.at[jnp.arange(K), 1 + jnp.arange(K)].set(True)
-
-            for lvl in range(1, depth):
-                slots = 1 + (lvl - 1) * K + jnp.arange(K)
-                rel = jnp.clip(s_idx - stable_len, 0, TREE_SLOTS - 1)
-                in_tree = (s_idx >= stable_len) & \
-                    (s_idx < stable_len + TREE_SLOTS)
-                anc_now = anc.at[jnp.arange(K), slots].set(True)
-                tree_m = jnp.take_along_axis(
-                    anc_now, jnp.broadcast_to(rel, (K, S)), axis=1)
-                mask = ((s_idx < stable_len) | (in_tree & tree_m))[None]
-                pos = (stable_len + lvl) * jnp.ones((1, K), jnp.int32)
-                h, ekv_k, ekv_v = eagle_forward(
-                    net_params, ncfg, embed[beam_tokens][None],
-                    beam_hidden[None], pos, ekv_k, ekv_v,
-                    stable_len + 1 + (lvl - 1) * K, mask)
-                h = h[0]
-                lp = head_logp(h)
-                v, t = jax.lax.top_k(lp, K)
-                cand_scores = (beam_scores[:, None] + v).reshape(-1)
-                cand_tokens = t.reshape(-1)
-                cand_parent_row = jnp.repeat(jnp.arange(K), K)
-                base = 1 + K + (lvl - 1) * K * K
-                cidx = base + jnp.arange(K * K)
-                pool_tokens = pool_tokens.at[cidx].set(cand_tokens)
-                pool_parents = pool_parents.at[cidx].set(
-                    beam_pool_idx[cand_parent_row])
-                pool_scores = pool_scores.at[cidx].set(cand_scores)
-                pool_depth = pool_depth.at[cidx].set(lvl + 1)
-                bv, bi = jax.lax.top_k(cand_scores, K)
-                row = cand_parent_row[bi]
-                beam_tokens, beam_scores = cand_tokens[bi], bv
-                beam_hidden = h[row]
-                beam_pool_idx = cidx[bi].astype(jnp.int32)
-                anc = anc_now[row]
-
-            sel_n = total + 1
-            _, sel = jax.lax.top_k(pool_scores, sel_n)
-            key = pool_depth[sel] * POOL + sel
-            order = jnp.argsort(key)
-            sel_sorted = sel[order]
-            new_pos = jnp.full((POOL,), -1, jnp.int32).at[sel_sorted].set(
-                jnp.arange(sel_n, dtype=jnp.int32))
-            par = pool_parents[sel_sorted]
-            parents_new = jnp.where(par >= 0, new_pos[jnp.maximum(par, 0)],
-                                    -1)
-            packed = jnp.stack([
-                pool_tokens[sel_sorted],
-                jnp.where(parents_new >= 0, parents_new, -1)])
-            return packed, ekv_k, ekv_v
+        expand, _ = make_eagle_expand(
+            net_cfg=ncfg, embed=embed, head=head, S=S, depth=depth,
+            topk=K, total=total, M=M)
 
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, history,

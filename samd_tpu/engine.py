@@ -220,6 +220,8 @@ class SamdEngine:
                  gen_config: Optional[GenerationConfig] = None) -> Outputs:
         gen = gen_config or GenerationConfig()
         input_ids = list(input_ids)
+        if not input_ids:
+            raise ValueError("generate() requires a non-empty prompt")
         M = self.samd_cfg.max_predicts
         S = min(self.max_cache_len, gen.max_cache_len)
         wants_harvest = getattr(self.drafter, "wants_harvest", False)
@@ -272,6 +274,10 @@ class SamdEngine:
             else:
                 self.kv_k, self.kv_v, pack, topk, path_hidden = step_fn(*args)
 
+            if wants_harvest:
+                # start the harvest transfer so it rides alongside the pack
+                # fetch instead of costing a second blocking round trip
+                topk.copy_to_host_async()
             pack = np.asarray(pack)  # single device→host fetch
             if prof:
                 prof.record("device_step", time.perf_counter() - t0)

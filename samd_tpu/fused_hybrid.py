@@ -303,3 +303,237 @@ class FusedHybridEngine:
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])
+
+
+# ----------------------------------------------------------------------
+# Fused SAM[EAGLE-2]: retrieval chains vs draft-net trees, on device
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FusedHybridEagleConfig:
+    """SAM-Decoding[EAGLE2] (the reference's strongest configuration,
+    README.md:57) as a fused device loop."""
+    max_ngram: int = 8
+    ext: int = 56
+    n_predicts: int = 40
+    len_threshold: int = 5
+    len_bias: int = 5
+    eagle_depth: int = 5
+    eagle_topk: int = 8
+    eagle_total: int = 63
+    steps_per_call: int = 8
+    corpus_capacity: int = 1 << 15
+    max_block: int = 64
+
+
+class FusedHybridEagleEngine:
+    """Per step: SAM retrieval chain when the suffix match clears the
+    threshold, otherwise an EAGLE-2 beam tree; one packed-draft verify; the
+    draft net's stable KV always extends with the accepted (token, target
+    hidden) pairs so either source stays ready."""
+
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 hy_cfg: Optional[FusedHybridEagleConfig] = None, *,
+                 net_params=None,
+                 corpus: Optional[Sequence[int]] = None,
+                 max_cache_len: int = 2048, eos_token_id: int = 2,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        from .drafters.eagle.net import (
+            EagleNetConfig,
+            init_eagle_kv,
+            init_eagle_params,
+        )
+
+        self.model_cfg = model_cfg
+        self.params = params
+        self.cfg = hy_cfg or FusedHybridEagleConfig()
+        assert self.cfg.max_block >= max(self.cfg.n_predicts,
+                                         self.cfg.eagle_total + 1)
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+        self.net_cfg = EagleNetConfig.from_target(model_cfg)
+        if net_params is None:
+            net_params = init_eagle_params(self.net_cfg,
+                                           jax.random.PRNGKey(7))
+        self.net_params = net_params
+
+        from .cache import init_kv_cache
+        from .fused_base import load_corpus_buffer
+
+        self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
+        self.ekv_k, self.ekv_v = init_eagle_kv(self.net_cfg, 1, max_cache_len)
+        self.corpus, self.corpus_len = load_corpus_buffer(
+            corpus, self.cfg.corpus_capacity)
+        self._prefill_fns: Dict[int, callable] = {}
+        self._fused = self._build_fused()
+        self.sam_steps = 0
+
+    def _head(self):
+        return (self.params["embed"].T if self.model_cfg.tie_embeddings
+                else self.params["lm_head"])
+
+    def _build_prefill(self, P: int):
+        from .drafters.eagle.net import eagle_forward
+
+        cfg, ncfg, S = self.model_cfg, self.net_cfg, self.S
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+        def prefill(params, net_params, kv_k, kv_v, ekv_k, ekv_v, tokens,
+                    true_len):
+            logits, hidden, kv_k, kv_v = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], kv_k, kv_v,
+                jnp.int32(0), prefill_mask(1, P, S))
+            s = jnp.arange(S)[None, :]
+            mask = (s <= jnp.arange(P)[:, None])[None]
+            _, ekv_k, ekv_v = eagle_forward(
+                net_params, ncfg, params["embed"][tokens[1:]][None],
+                hidden[0][:-1][None], jnp.arange(P - 1)[None, :],
+                ekv_k, ekv_v, jnp.int32(0), mask[:, :P - 1])
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            last_hidden = jax.lax.dynamic_index_in_dim(
+                hidden[0], true_len - 1, axis=0, keepdims=False)
+            return (kv_k, kv_v, ekv_k, ekv_v,
+                    jnp.argmax(last).astype(jnp.int32), last_hidden)
+
+        return prefill
+
+    def _build_fused(self):
+        from .drafters.eagle.net import eagle_forward
+        from .eagle_fused import make_eagle_expand
+        from .fused_base import make_retrieval_draft
+
+        cfg, ncfg, S = self.model_cfg, self.net_cfg, self.S
+        hc = self.cfg
+        M = hc.max_block
+        expand, TREE_SLOTS = make_eagle_expand(
+            net_cfg=ncfg, embed=self.params["embed"], head=self._head(),
+            S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
+            total=hc.eagle_total, M=M)
+        retrieve = make_retrieval_draft(
+            S=S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
+            block=M)
+        chain_parents = jnp.concatenate([
+            jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
+            jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
+        embed = self.params["embed"]
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
+        def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, history,
+                  hist_len, start_token, last_hidden, budget, eos_id):
+            def cond(st):
+                (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start,
+                 last_hidden, budget, done, steps, sam_steps) = st
+                return (~done & (steps < hc.steps_per_call) & (budget > 0)
+                        & (hist_len + M <= S)
+                        & (hist_len + TREE_SLOTS <= S))
+
+            def body(st):
+                (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start,
+                 last_hidden, budget, done, steps, sam_steps) = st
+                # SAM retrieval chain (fixed n_predicts, -1 beyond avail)
+                match, _, raw, cont_avail = retrieve(history, hist_len, start)
+                avail = jnp.minimum(cont_avail, hc.n_predicts - 1)
+                keep = jnp.arange(M - 1) < avail
+                chain_tokens = jnp.concatenate([
+                    raw[:1], jnp.where(keep, raw[1:], -1)]).astype(jnp.int32)
+                chain_tokens = jnp.where(jnp.arange(M) < hc.n_predicts,
+                                         chain_tokens, -1)
+                use_sam = match >= hc.len_threshold
+                # EAGLE tree (always expanded; draft-net KV scratch lives
+                # after the stable prefix at hist_len - 1)
+                eagle_packed, ekv_k, ekv_v = expand(
+                    net_params, ekv_k, ekv_v, hist_len - 1, last_hidden,
+                    start)
+                draft_tokens = jnp.where(use_sam, chain_tokens,
+                                         eagle_packed[0])
+                parents = jnp.where(use_sam, chain_parents, eagle_packed[1])
+                packed = jnp.stack([jnp.maximum(draft_tokens, 0), parents])
+                toks, tree_mask, depths, paths = unpack_draft(packed, M)
+                mask = block_decode_mask(tree_mask, hist_len, S)
+                logits, hidden, kv_k, kv_v = forward(
+                    params, cfg, toks[None], depths[None, :] + hist_len,
+                    kv_k, kv_v, hist_len, mask)
+                res = greedy_accept(logits[0], draft_tokens, paths)
+                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M)
+                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M)
+                alen = res.accept_len
+                acc = jnp.maximum(res.accepted_tokens, 0)
+                Dd = acc.shape[0]
+                is_eos = (acc == eos_id) & (jnp.arange(Dd) < alen)
+                any_eos = jnp.any(is_eos)
+                alen = jnp.where(any_eos,
+                                 jnp.argmax(is_eos).astype(jnp.int32) + 1,
+                                 alen)
+                # extend draft-net stable KV with accepted (token, hidden)
+                path_hidden = hidden[0][res.path_nodes]
+                prev_h = jnp.concatenate([last_hidden[None],
+                                          path_hidden[:-1]], axis=0)
+                offs = hist_len - 1
+                s_idx2 = jnp.arange(S)[None, :]
+                emask = (s_idx2 <= (offs + jnp.arange(Dd))[:, None])[None]
+                _, ekv_k, ekv_v = eagle_forward(
+                    net_params, ncfg, embed[acc][None], prev_h[None],
+                    offs + jnp.arange(Dd)[None, :], ekv_k, ekv_v, offs,
+                    emask)
+                last_hidden = path_hidden[alen - 1]
+                history = jax.lax.dynamic_update_slice(history, acc,
+                                                       (hist_len,))
+                hist_len = hist_len + alen
+                budget = budget - alen
+                done = any_eos | (budget <= 0)
+                return (kv_k, kv_v, ekv_k, ekv_v, history, hist_len,
+                        res.next_token, last_hidden, budget, done, steps + 1,
+                        sam_steps + use_sam.astype(jnp.int32))
+
+            init = (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start_token,
+                    last_hidden, budget, jnp.bool_(False), jnp.int32(0),
+                    jnp.int32(0))
+            return jax.lax.while_loop(cond, body, init)
+
+        return fused
+
+    def generate(self, input_ids: Sequence[int],
+                 gen_config: Optional[GenerationConfig] = None) -> Outputs:
+        gen = gen_config or GenerationConfig()
+        input_ids = list(input_ids)
+        P = _bucket(len(input_ids), self.prefill_buckets)
+        if P not in self._prefill_fns:
+            self._prefill_fns[P] = self._build_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(input_ids)] = input_ids
+        (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, next_token,
+         last_hidden) = self._prefill_fns[P](
+            self.params, self.net_params, self.kv_k, self.kv_v,
+            self.ekv_k, self.ekv_v, jnp.asarray(padded),
+            jnp.int32(len(input_ids)))
+
+        from .fused_base import init_history
+
+        history = init_history(input_ids, self.S)
+        hist_len = jnp.int32(len(input_ids))
+        budget = jnp.int32(gen.max_new_tokens)
+        start = next_token
+        done = False
+        decode_steps = 0
+        self.sam_steps = 0
+        while not done:
+            (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, history, hist_len,
+             start, last_hidden, budget, done_d, steps, sam_steps) = \
+                self._fused(self.params, self.net_params, self.kv_k,
+                            self.kv_v, self.ekv_k, self.ekv_v, history,
+                            hist_len, start, last_hidden, budget,
+                            jnp.int32(self.eos_token_id))
+            decode_steps += int(steps)
+            self.sam_steps += int(sam_steps)
+            done = bool(done_d) or int(steps) == 0 or \
+                int(hist_len) + self.cfg.max_block > self.S
+        from .fused_base import finalize_generation
+
+        output = finalize_generation(history, int(hist_len), len(input_ids),
+                                     self.eos_token_id, gen.max_new_tokens)
+        return Outputs(output, len(output) - len(input_ids), decode_steps,
+                       [])

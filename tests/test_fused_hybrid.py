@@ -94,3 +94,53 @@ def test_hybrid_sampling_mode(tiny_model):
                             greedy=False, temperature=0.8, seed=6)
     c = fresh().generate(p, gen2)
     assert c.output_ids != a.output_ids
+
+
+def test_hybrid_eagle_equals_ar(tiny_model):
+    from samd_tpu.fused_hybrid import (
+        FusedHybridEagleConfig,
+        FusedHybridEagleEngine,
+    )
+
+    cfg, params = tiny_model
+    gen = GenerationConfig(max_new_tokens=32, max_cache_len=256)
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,))
+    hy = FusedHybridEagleConfig(n_predicts=12, eagle_depth=3, eagle_topk=4,
+                                eagle_total=15, max_block=16,
+                                steps_per_call=6, corpus_capacity=256)
+    eng = FusedHybridEagleEngine(cfg, params, hy, max_cache_len=256,
+                                 eos_token_id=-1, prefill_buckets=(32,))
+    rng = np.random.default_rng(10)
+    for seed in range(2):
+        p = rng.integers(3, 128, size=20).tolist()
+        ref = ar.generate(p, gen)
+        out = eng.generate(p, gen)
+        assert out.output_ids == ref.output_ids, f"seed {seed}"
+        assert out.decode_tokens == ref.decode_tokens
+
+
+def test_hybrid_eagle_uses_retrieval_with_corpus(tiny_model):
+    from samd_tpu.fused_hybrid import (
+        FusedHybridEagleConfig,
+        FusedHybridEagleEngine,
+    )
+
+    cfg, params = tiny_model
+    gen = GenerationConfig(max_new_tokens=32, max_cache_len=256)
+    hy = FusedHybridEagleConfig(n_predicts=12, eagle_depth=3, eagle_topk=4,
+                                eagle_total=15, max_block=16,
+                                steps_per_call=6, corpus_capacity=256,
+                                len_bias=0)
+    p = np.random.default_rng(11).integers(3, 128, size=20).tolist()
+    probe = FusedHybridEagleEngine(cfg, params, hy, max_cache_len=256,
+                                   eos_token_id=-1, prefill_buckets=(32,))
+    ref = probe.generate(p, gen)
+    corpus = ref.output_ids + [0]
+    eng = FusedHybridEagleEngine(cfg, params, hy, corpus=corpus,
+                                 max_cache_len=256, eos_token_id=-1,
+                                 prefill_buckets=(32,))
+    out = eng.generate(p, gen)
+    assert out.output_ids == ref.output_ids
+    assert out.decode_steps < ref.decode_steps
+    assert eng.sam_steps > 0
