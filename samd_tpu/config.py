@@ -75,7 +75,26 @@ class GenerationConfig:
     top_p: float = 0.0
     top_k: int = 0
     seed: int = 0
+    # Acceptance rule for sampling mode:
+    #   "rejection" – speculative rejection sampling (distribution-
+    #                 preserving; reference samd/utils.py:142-184)
+    #   "typical"   – entropy-adaptive posterior mask (reference
+    #                 evaluation/model/token_recycle/utils.py:356-384)
+    #   "nucleus"   – top-p posterior mask (reference
+    #                 evaluation/model/token_recycle/utils.py:235-290)
+    accept_mode: Literal["rejection", "typical", "nucleus"] = "rejection"
+    posterior_threshold: float = 0.3   # typical-acceptance cap
+    posterior_alpha: float = 0.09      # typical-acceptance entropy scale
 
     def __post_init__(self):
         if not self.greedy and self.temperature < 1e-5:
             raise ValueError("sampling requires temperature >= 1e-5")
+        if self.accept_mode == "nucleus" and not self.greedy \
+                and not (0.0 < self.top_p <= 1.0):
+            raise ValueError("nucleus acceptance requires 0 < top_p <= 1")
+
+    @property
+    def sampling_signature(self) -> tuple:
+        """Static knobs that select one compiled sampling step."""
+        return (self.temperature, self.top_p, self.top_k, self.accept_mode,
+                self.posterior_threshold, self.posterior_alpha)

@@ -170,8 +170,10 @@ class SamdEngine:
 
         return decode_step
 
-    def _build_sampling_step(self, temperature: float, top_p: float,
-                             top_k: int):
+    def _build_sampling_step(self, sig: tuple):
+        """One compiled sampling step per GenerationConfig.sampling_signature
+        (temperature, top_p, top_k, accept_mode, posterior knobs)."""
+        temperature, top_p, top_k, mode, pthr, palpha = sig
         M = self.samd_cfg.max_predicts
         K = self.harvest_topk
 
@@ -181,9 +183,23 @@ class SamdEngine:
         def decode_step(params, kv_k, kv_v, cache_len, draft, key):
             logits, hidden, draft_tokens, paths, kv_k, kv_v = \
                 self._verify_core(params, kv_k, kv_v, cache_len, draft)
-            res = sampling_accept(
-                logits[0], draft_tokens, paths, key,
-                temperature=temperature, top_p=top_p, top_k=top_k)
+            if mode == "typical":
+                from .verify import typical_accept
+
+                res = typical_accept(
+                    logits[0], draft_tokens, paths, key,
+                    temperature=temperature, posterior_threshold=pthr,
+                    posterior_alpha=palpha)
+            elif mode == "nucleus":
+                from .verify import nucleus_accept
+
+                res = nucleus_accept(
+                    logits[0], draft_tokens, paths, key,
+                    temperature=temperature, top_p=top_p)
+            else:
+                res = sampling_accept(
+                    logits[0], draft_tokens, paths, key,
+                    temperature=temperature, top_p=top_p, top_k=top_k)
             kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M)
             kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M)
             pack = jnp.concatenate([
@@ -237,9 +253,9 @@ class SamdEngine:
 
         sampling = not gen.greedy
         if sampling:
-            sig = (gen.temperature, gen.top_p, gen.top_k)
+            sig = gen.sampling_signature
             if sig not in self._sampling_fns:
-                self._sampling_fns[sig] = self._build_sampling_step(*sig)
+                self._sampling_fns[sig] = self._build_sampling_step(sig)
             step_fn = self._sampling_fns[sig]
             key = jax.random.PRNGKey(gen.seed)
             if gen.temperature > 0:
@@ -322,12 +338,25 @@ class SamdEngine:
         wants_harvest = getattr(self.drafter, "wants_harvest", False)
         wants_hidden = getattr(self.drafter, "wants_hidden", False)
         self.drafter.reset()
-        next_token_dev, _, topk, hidden = self._prefill(input_ids)
+        next_token_dev, last_logits, topk, hidden = self._prefill(input_ids)
         self.drafter.observe_prompt(
             input_ids,
             np.asarray(topk)[:len(input_ids)] if wants_harvest else None)
         if wants_hidden:
             self.drafter.observe_prompt_hidden(input_ids, hidden)
+        sampling = not gen.greedy
+        if sampling:
+            sig = gen.sampling_signature
+            if sig not in self._sampling_fns:
+                self._sampling_fns[sig] = self._build_sampling_step(sig)
+            step_fn = self._sampling_fns[sig]
+            key = jax.random.PRNGKey(gen.seed)
+            if gen.temperature > 0:
+                key, sub = jax.random.split(key)
+                next_token_dev = jax.random.categorical(
+                    sub, last_logits / gen.temperature)
+        else:
+            step_fn = self._decode_fn
         cache_len = len(input_ids)
         decode_tokens = 0
         start_token = int(next_token_dev)
@@ -335,9 +364,14 @@ class SamdEngine:
             if cache_len + M > S:
                 break
             draft = self.drafter.lookup(start_token)
-            self.kv_k, self.kv_v, pack, topk, path_hidden = self._decode_fn(
-                self.params, self.kv_k, self.kv_v, jnp.int32(cache_len),
-                jnp.asarray(draft.packed))
+            args = (self.params, self.kv_k, self.kv_v, jnp.int32(cache_len),
+                    jnp.asarray(draft.packed))
+            if sampling:
+                key, sub = jax.random.split(key)
+                self.kv_k, self.kv_v, pack, topk, path_hidden = \
+                    step_fn(*args, sub)
+            else:
+                self.kv_k, self.kv_v, pack, topk, path_hidden = step_fn(*args)
             pack = np.asarray(pack)
             accept_len = int(pack[0])
             accepted = pack[2:2 + accept_len].tolist()

@@ -13,13 +13,17 @@ from .fused_sam import suffix_match
 
 def make_retrieval_draft(*, S: int, corpus: jax.Array, corpus_len: jax.Array,
                          max_ngram: int, ext: int, len_bias: int,
-                         block: int):
+                         block: int, corpus_index=None):
     """Build the shared history+corpus longest-suffix retrieval drafter.
 
     Returns ``draft(history, hist_len, start) -> (match, use_dyn, tokens
     [block], cont_avail)`` where ``tokens[0] == start`` and positions beyond
     the available continuation carry the raw (unclipped) gather — callers
-    apply their own length policy (adaptive alpha, fixed n_predicts, ...)."""
+    apply their own length policy (adaptive alpha, fixed n_predicts, ...).
+
+    ``corpus_index`` (an ops.ngram_index.NgramIndex) switches the corpus
+    search from the O(corpus) windowed scan to an O(bucket) index probe —
+    required at reference corpus scale (millions of tokens)."""
     Q = max_ngram
     M = block
 
@@ -32,8 +36,15 @@ def make_retrieval_draft(*, S: int, corpus: jax.Array, corpus_len: jax.Array,
         tail_len = jnp.clip(hist_len - (Q - 1), 0, ext)
         m_dyn, e_dyn = suffix_match(history, hist_len, query, tail,
                                     tail_len, max_ngram=Q, ext=ext)
-        m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
-                                    tail_len, max_ngram=Q, ext=ext)
+        if corpus_index is not None:
+            from .ops.ngram_index import indexed_suffix_match
+
+            m_cor, e_cor = indexed_suffix_match(
+                corpus, corpus_len, corpus_index, query, tail, tail_len,
+                max_ngram=Q, ext=ext)
+        else:
+            m_cor, e_cor = suffix_match(corpus, corpus_len, query, tail,
+                                        tail_len, max_ngram=Q, ext=ext)
         m_cor_adj = m_cor - len_bias
         use_dyn = m_dyn >= m_cor_adj
         match = jnp.maximum(m_dyn, m_cor_adj)
@@ -48,6 +59,18 @@ def make_retrieval_draft(*, S: int, corpus: jax.Array, corpus_len: jax.Array,
         return match, use_dyn, tokens, cont_avail
 
     return draft
+
+
+def build_optional_index(corpus, cfg):
+    """NgramIndex for an ``indexed`` fused config; None when disabled/empty."""
+    if not getattr(cfg, "indexed", False) or corpus is None \
+            or len(corpus) == 0:
+        return None
+    from .ops.ngram_index import build_ngram_index
+
+    return build_ngram_index(
+        np.asarray(corpus[:cfg.corpus_capacity], np.int32),
+        grams=cfg.index_grams, bucket_cap=cfg.index_bucket_cap)
 
 
 def load_corpus_buffer(corpus, capacity: int) -> Tuple[jax.Array, jax.Array]:

@@ -54,6 +54,10 @@ class FusedHybridConfig:
     steps_per_call: int = 16
     corpus_capacity: int = 1 << 15
     max_block: int = 64         # M >= max(n_predicts, tree_nodes)
+    # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
+    indexed: bool = False
+    index_grams: tuple = (8, 4, 2, 1)
+    index_bucket_cap: int = 8
 
 
 class FusedHybridEngine:
@@ -98,13 +102,17 @@ class FusedHybridEngine:
         V = model_cfg.vocab_size
         self.harvest = jnp.zeros((V + 1, self.cfg.topk), jnp.int32)
         self.seen = jnp.zeros((V + 1,), bool)
-        from .fused_base import load_corpus_buffer
+        from .fused_base import build_optional_index, load_corpus_buffer
 
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
+        self.corpus_index = build_optional_index(corpus, self.cfg)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
+        self.sam_steps = 0        # last request's retrieval-draft steps
+        self.sam_steps_total = 0  # across all requests (bench/diagnostics)
+        self.steps_total = 0
 
     # ------------------------------------------------------------------
     def _build_prefill(self, P: int):
@@ -154,7 +162,8 @@ class FusedHybridEngine:
 
         retrieve = make_retrieval_draft(
             S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
-            ext=hc.ext, len_bias=hc.len_bias, block=M)
+            ext=hc.ext, len_bias=hc.len_bias, block=M,
+            corpus_index=self.corpus_index)
 
         def retrieval_draft(history, hist_len, start):
             match, use_dyn, raw, cont_avail = retrieve(history, hist_len,
@@ -285,7 +294,7 @@ class FusedHybridEngine:
         start = next_token
         done = False
         decode_steps = 0
-        self.sam_steps = 0
+        self.sam_steps = 0  # this request's retrieval-draft steps
         while not done:
             key, sub = jax.random.split(key)
             (self.kv_k, self.kv_v, self.harvest, self.seen, history, hist_len,
@@ -295,6 +304,8 @@ class FusedHybridEngine:
                 jnp.int32(self.eos_token_id), sub)
             decode_steps += int(steps)
             self.sam_steps += int(sam_steps)
+            self.sam_steps_total += int(sam_steps)
+            self.steps_total += int(steps)
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.cfg.max_block > self.S
         from .fused_base import finalize_generation
@@ -324,6 +335,10 @@ class FusedHybridEagleConfig:
     steps_per_call: int = 8
     corpus_capacity: int = 1 << 15
     max_block: int = 64
+    # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
+    indexed: bool = False
+    index_grams: tuple = (8, 4, 2, 1)
+    index_bucket_cap: int = 8
 
 
 class FusedHybridEagleEngine:
@@ -360,15 +375,18 @@ class FusedHybridEagleEngine:
         self.net_params = net_params
 
         from .cache import init_kv_cache
-        from .fused_base import load_corpus_buffer
+        from .fused_base import build_optional_index, load_corpus_buffer
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
         self.ekv_k, self.ekv_v = init_eagle_kv(self.net_cfg, 1, max_cache_len)
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
+        self.corpus_index = build_optional_index(corpus, self.cfg)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
-        self.sam_steps = 0
+        self.sam_steps = 0        # last request's retrieval-draft steps
+        self.sam_steps_total = 0  # across all requests (bench/diagnostics)
+        self.steps_total = 0
 
     def _head(self):
         return (self.params["embed"].T if self.model_cfg.tie_embeddings
@@ -415,7 +433,7 @@ class FusedHybridEagleEngine:
         retrieve = make_retrieval_draft(
             S=S, corpus=self.corpus, corpus_len=self.corpus_len,
             max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
-            block=M)
+            block=M, corpus_index=self.corpus_index)
         chain_parents = jnp.concatenate([
             jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
             jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
@@ -529,6 +547,8 @@ class FusedHybridEagleEngine:
                             jnp.int32(self.eos_token_id))
             decode_steps += int(steps)
             self.sam_steps += int(sam_steps)
+            self.sam_steps_total += int(sam_steps)
+            self.steps_total += int(steps)
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.cfg.max_block > self.S
         from .fused_base import finalize_generation

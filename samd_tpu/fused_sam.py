@@ -54,6 +54,12 @@ class FusedSamConfig:
     steps_per_call: int = 16
     corpus_capacity: int = 1 << 15  # static corpus buffer size (one compile
                                     # serves any corpus up to this length)
+    # n-gram hash index (ops/ngram_index.py): O(bucket) corpus probes instead
+    # of the O(corpus) windowed scan — required at reference corpus scale
+    # (millions of tokens, /root/reference/tools/gen_sam_alpaca.py:19-44)
+    indexed: bool = False
+    index_grams: Tuple[int, ...] = (8, 4, 2, 1)
+    index_bucket_cap: int = 8
 
     @property
     def block(self) -> int:
@@ -160,10 +166,11 @@ class FusedSamEngine:
         from .cache import init_kv_cache
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, 1, max_cache_len)
-        from .fused_base import load_corpus_buffer
+        from .fused_base import build_optional_index, load_corpus_buffer
 
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
+        self.corpus_index = build_optional_index(corpus, self.cfg)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -199,7 +206,8 @@ class FusedSamEngine:
 
         retrieve = make_retrieval_draft(
             S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
-            ext=fc.ext, len_bias=fc.len_bias, block=M)
+            ext=fc.ext, len_bias=fc.len_bias, block=M,
+            corpus_index=self.corpus_index)
 
         def make_draft(history, hist_len, start):
             match, use_dyn, tokens, cont_avail = retrieve(
@@ -361,10 +369,11 @@ class BatchedFusedSamEngine:
 
         self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
                                              max_cache_len)
-        from .fused_base import load_corpus_buffer
+        from .fused_base import build_optional_index, load_corpus_buffer
 
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
+        self.corpus_index = build_optional_index(corpus, self.cfg)
 
         self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
         self._prefill_fns = {}
@@ -414,7 +423,8 @@ class BatchedFusedSamEngine:
 
         retrieve = make_retrieval_draft(
             S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
-            ext=fc.ext, len_bias=fc.len_bias, block=M)
+            ext=fc.ext, len_bias=fc.len_bias, block=M,
+            corpus_index=self.corpus_index)
 
         def make_draft(history, hist_len, start):
             match, use_dyn, tokens, cont_avail = retrieve(

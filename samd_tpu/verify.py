@@ -90,6 +90,94 @@ def _process_logits(logits: jax.Array, temperature: float, top_p: float,
     return logits
 
 
+def _path_tables(logits, draft_tokens, retrieve_indices):
+    """Shared per-path gathers: (valid, nodes, cand, parent_nodes)."""
+    valid = retrieve_indices >= 0
+    nodes = jnp.maximum(retrieve_indices, 0)
+    cand = draft_tokens[nodes]
+    return valid, nodes, cand
+
+
+def _best_row_result(logits_for_next, draft_tokens, retrieve_indices, mask,
+                     likelihood, key):
+    """Turn a per-(row, pos) acceptance mask into an AcceptResult.
+
+    mask: [R, D-1] accept mask for positions 1..D-1; likelihood: [R, D-1]
+    per-position log-prob (tie-break among max-run rows, highest likelihood
+    first — reference fast-typical path,
+    /root/reference/evaluation/model/token_recycle/utils.py:377-382)."""
+    valid, nodes, cand = _path_tables(logits_for_next, draft_tokens,
+                                      retrieve_indices)
+    runm = jnp.cumprod(mask.astype(jnp.int32), axis=1)
+    run = runm.sum(axis=1)                                      # [R]
+    root_ok = retrieve_indices[:, 0] == 0
+    run = jnp.where(root_ok, run, -1)
+    best_run = jnp.max(run)
+    lik = jnp.sum(jnp.where(runm > 0, likelihood, 0.0), axis=1)
+    lik_key = jnp.where(run == best_run, lik, -jnp.inf)
+    best = jnp.argmax(lik_key).astype(jnp.int32)
+    accept_len = (jnp.maximum(best_run, 0) + 1).astype(jnp.int32)
+    path_nodes = nodes[best]
+    last_node = path_nodes[accept_len - 1]
+    bonus = jax.random.categorical(key, logits_for_next[last_node]
+                                   ).astype(jnp.int32)
+    return AcceptResult(
+        best_path=best, accept_len=accept_len, path_nodes=path_nodes,
+        accepted_tokens=jnp.where(valid[best], cand[best], 0),
+        next_token=bonus, next_logits=logits_for_next[last_node])
+
+
+def typical_accept(logits: jax.Array, draft_tokens: jax.Array,
+                   retrieve_indices: jax.Array, key: jax.Array, *,
+                   temperature: float, posterior_threshold: float = 0.3,
+                   posterior_alpha: float = 0.09) -> AcceptResult:
+    """Typical-sampling acceptance (Medusa-style): accept a drafted token
+    when its parent-node probability clears min(posterior_threshold,
+    exp(-entropy) * posterior_alpha); among longest-run rows pick the
+    highest-likelihood one; bonus token sampled from the last accepted
+    node's tempered distribution.  Reference fast path:
+    /root/reference/evaluation/model/token_recycle/utils.py:356-384."""
+    warped = logits / jnp.maximum(temperature, 1e-5)
+    probs = jax.nn.softmax(warped, axis=-1)                      # [M, V]
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1)   # [M]
+    thresh = jnp.minimum(posterior_threshold,
+                         jnp.exp(-entropy) * posterior_alpha)    # [M]
+    valid, nodes, cand = _path_tables(logits, draft_tokens, retrieve_indices)
+    parent = nodes[:, :-1]                                       # [R, D-1]
+    tok = jnp.maximum(cand[:, 1:], 0)
+    cand_prob = probs[parent, tok]                               # [R, D-1]
+    mask = (cand_prob > thresh[parent]) & valid[:, 1:]
+    lik = jnp.log(jnp.maximum(cand_prob, 1e-20))
+    return _best_row_result(warped, draft_tokens, retrieve_indices, mask,
+                            lik, key)
+
+
+def nucleus_accept(logits: jax.Array, draft_tokens: jax.Array,
+                   retrieve_indices: jax.Array, key: jax.Array, *,
+                   temperature: float, top_p: float) -> AcceptResult:
+    """Nucleus (top-p) acceptance: sample one token per draft node from its
+    top-p-warped distribution and accept a drafted child iff it equals its
+    parent's sample.  Reference:
+    /root/reference/evaluation/model/token_recycle/utils.py:235-290 (the
+    reference samples independently per (path, depth); sampling once per
+    *node* is the tree-consistent equivalent — shared parents give all their
+    child paths the same draw)."""
+    M = logits.shape[0]
+    warped = _process_logits(logits / jnp.maximum(temperature, 1e-5),
+                             1.0, top_p, 0)
+    keys = jax.random.split(key, 2)
+    sampled = jax.random.categorical(keys[0], warped, axis=-1
+                                     ).astype(jnp.int32)          # [M]
+    valid, nodes, cand = _path_tables(logits, draft_tokens, retrieve_indices)
+    parent = nodes[:, :-1]
+    mask = (cand[:, 1:] == sampled[parent]) & valid[:, 1:]
+    probs = jax.nn.softmax(warped, axis=-1)
+    lik = jnp.log(jnp.maximum(probs[parent, jnp.maximum(cand[:, 1:], 0)],
+                              1e-20))
+    return _best_row_result(warped, draft_tokens, retrieve_indices, mask,
+                            lik, keys[1])
+
+
 def sampling_accept(logits: jax.Array, draft_tokens: jax.Array,
                     retrieve_indices: jax.Array, key: jax.Array,
                     *, temperature: float, top_p: float,
