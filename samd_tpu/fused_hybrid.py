@@ -137,6 +137,7 @@ class FusedHybridEngine:
 
     def _build_fused(self, sampling: bool = False, temperature: float = 1.0,
                      top_p: float = 0.0, top_k: int = 0):
+        _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         cfg, S = self.model_cfg, self.S
         hc = self.cfg
         M = hc.max_block
@@ -230,8 +231,8 @@ class FusedHybridEngine:
                         temperature=temperature, top_p=top_p, top_k=top_k)
                 else:
                     res = greedy_accept(logits[0], cand_tokens, paths)
-                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M)
-                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M)
+                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M, seq_axis=_sa)
+                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M, seq_axis=_sa)
                 # Token-Recycle harvest of the whole block
                 topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
                 rows = jnp.where(draft_tokens >= 0, draft_tokens, V)
@@ -419,6 +420,7 @@ class FusedHybridEagleEngine:
         return prefill
 
     def _build_fused(self):
+        _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         from .drafters.eagle.net import eagle_forward
         from .eagle_fused import make_eagle_expand
         from .fused_base import make_retrieval_draft
@@ -476,8 +478,8 @@ class FusedHybridEagleEngine:
                     params, cfg, toks[None], depths[None, :] + hist_len,
                     kv_k, kv_v, hist_len, mask)
                 res = greedy_accept(logits[0], draft_tokens, paths)
-                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M)
-                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M)
+                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M, seq_axis=_sa)
+                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M, seq_axis=_sa)
                 alen = res.accept_len
                 acc = jnp.maximum(res.accepted_tokens, 0)
                 Dd = acc.shape[0]

@@ -33,6 +33,12 @@ class ModelConfig:
     #   "flash"           – Pallas flash kernel streaming only live KV blocks
     #   "flash_interpret" – same kernel in interpreter mode (CPU tests)
     attention_impl: str = "xla"
+    # KV-cache layout:
+    #   "sd" – [L, B, KH, S, D] (sequence-major; default)
+    #   "ds" – [L, B, KH, D, S] (transposed: the flash kernel's native
+    #          layout — streams S-blocks with the 128-aligned lane dim and
+    #          no per-layer transpose; XLA attention handles it via einsum)
+    kv_layout: str = "sd"
 
     @property
     def kv_groups(self) -> int:

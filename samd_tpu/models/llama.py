@@ -102,16 +102,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
                cfg: ModelConfig) -> jax.Array:
-    """q: [B,T,NH,D]; k,v: [B,KH,S,D]; mask: [B,T,S] bool -> [B,T,NH*D]."""
+    """q: [B,T,NH,D]; k,v: [B,KH,S,D] ("sd") or [B,KH,D,S] ("ds");
+    mask: [B,T,S] bool -> [B,T,NH*D]."""
     B, T = q.shape[0], q.shape[1]
     KH, G, D = cfg.num_kv_heads, cfg.kv_groups, cfg.head_dim
+    ds = getattr(cfg, "kv_layout", "sd") == "ds"
     qg = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)  # [B,KH,G,T,D]
-    scores = jnp.einsum("bkgtd,bksd->bkgts", qg, k,
-                        preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bkgtd,bkds->bkgts" if ds else "bkgtd,bksd->bkgts",
+                        qg, k, preferred_element_type=jnp.float32)
     scores = scores * (D ** -0.5)
     bias = jnp.where(mask[:, None, None, :, :], 0.0, jnp.float32(-1e30))
     probs = jax.nn.softmax(scores + bias, axis=-1)
-    out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bkgts,bkds->bkgtd" if ds else "bkgts,bksd->bkgtd",
+                     probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, KH * G * D)
 
@@ -150,15 +153,30 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     cos, sin = rope_tables(position_ids, D, cfg.rope_theta)
 
     write_offset = jnp.asarray(write_offset)
+    ds_layout = getattr(cfg, "kv_layout", "sd") == "ds"
     if write_offset.ndim == 0:
-        def write_kv(cache, block):  # cache [B,KH,S,D], block [B,KH,T,D]
-            return jax.lax.dynamic_update_slice(
-                cache, block, (0, 0, write_offset, 0))
+        if ds_layout:
+            def write_kv(cache, block):  # cache [B,KH,D,S], blk [B,KH,T,D]
+                return jax.lax.dynamic_update_slice(
+                    cache, block.transpose(0, 1, 3, 2),
+                    (0, 0, 0, write_offset))
+        else:
+            def write_kv(cache, block):  # cache [B,KH,S,D], blk [B,KH,T,D]
+                return jax.lax.dynamic_update_slice(
+                    cache, block, (0, 0, write_offset, 0))
     else:
-        def write_kv(cache, block):
-            return jax.vmap(
-                lambda c, u, o: jax.lax.dynamic_update_slice(c, u, (0, o, 0))
-            )(cache, block, write_offset)
+        if ds_layout:
+            def write_kv(cache, block):
+                return jax.vmap(
+                    lambda c, u, o: jax.lax.dynamic_update_slice(
+                        c, u.transpose(0, 2, 1), (0, 0, o))
+                )(cache, block, write_offset)
+        else:
+            def write_kv(cache, block):
+                return jax.vmap(
+                    lambda c, u, o: jax.lax.dynamic_update_slice(
+                        c, u, (0, o, 0))
+                )(cache, block, write_offset)
 
     def layer_step(carry, xs):
         h = carry
@@ -177,6 +195,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
             ctx = flash_block_attention(
                 q, k_cache, v_cache, attn_mask, write_offset + T,
+                pre_transposed=ds_layout,
                 interpret=cfg.attention_impl == "flash_interpret")
         else:
             ctx = _attention(q, k_cache, v_cache, attn_mask, cfg)

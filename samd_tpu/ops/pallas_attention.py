@@ -118,26 +118,35 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_s", "interpret", "pre_transposed"))
 def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask: jax.Array, kv_limit: jax.Array, *,
-                          block_s: int = 512,
+                          block_s: int = 512, pre_transposed: bool = False,
                           interpret: bool = False) -> jax.Array:
     """Drop-in for the XLA attention on batch 1.
 
-    q: [1, T, NH, D]; k, v: [1, KH, S, D]; mask: [1, T, S] bool;
-    kv_limit: scalar int32 (attend only to slots < kv_limit).
-    Returns [1, T, NH*D]."""
+    q: [1, T, NH, D]; k, v: [1, KH, S, D] — or the kernel-native transposed
+    [1, KH, D, S] with ``pre_transposed=True`` (the "ds" cache layout, which
+    removes the per-call transpose that made this kernel net-negative
+    in-loop); mask: [1, T, S] bool; kv_limit: scalar int32 (attend only to
+    slots < kv_limit).  Returns [1, T, NH*D]."""
     _, T, NH, D = q.shape
-    _, KH, S, _ = k.shape
+    if pre_transposed:
+        _, KH, _, S = k.shape
+    else:
+        _, KH, S, _ = k.shape
     G = NH // KH
     R = G * T
     block_s = min(block_s, S)
     assert S % block_s == 0, (S, block_s)
     # [KH, G*T, D] query rows per kv head (row r = g*T + t)
     qh = q[0].transpose(1, 0, 2).reshape(KH, G, T, D).reshape(KH, R, D)
-    kT = k[0].transpose(0, 2, 1)   # [KH, D, S]
-    vT = v[0].transpose(0, 2, 1)
+    if pre_transposed:
+        kT, vT = k[0], v[0]        # already [KH, D, S]
+    else:
+        kT = k[0].transpose(0, 2, 1)   # [KH, D, S]
+        vT = v[0].transpose(0, 2, 1)
     Tp = _round_up(T, 32)
     mask8 = jnp.zeros((Tp, S), jnp.int8).at[:T].set(mask[0].astype(jnp.int8))
 

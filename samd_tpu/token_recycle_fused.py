@@ -128,6 +128,7 @@ class FusedTokenRecycleEngine:
         return prefill
 
     def _build_fused(self):
+        _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         cfg, S = self.model_cfg, self.S
         N, K = self.N, self.cfg.topk
         V = cfg.vocab_size
@@ -172,8 +173,8 @@ class FusedTokenRecycleEngine:
                     params, cfg, jnp.maximum(draft_tokens, 0)[None],
                     positions[None, :] + hist_len, kv_k, kv_v, hist_len, mask)
                 res = greedy_accept(logits[0], draft_tokens, paths)
-                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, N)
-                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, N)
+                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, N, seq_axis=_sa)
+                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, N, seq_axis=_sa)
                 # harvest the block (valid nodes only; invalid -> row V)
                 topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
                 rows = jnp.where(draft_tokens >= 0, draft_tokens, V)
