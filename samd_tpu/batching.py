@@ -33,7 +33,7 @@ from .engine import HARVEST_TOPK, Outputs, StepStats, _bucket
 from .models.configs import ModelConfig
 from .models.llama import Params, block_decode_mask, forward, prefill_mask
 from .ops.treeops import pack_draft_host, unpack_draft
-from .verify import greedy_accept
+from .verify import greedy_accept, make_accept_fn
 
 
 @dataclass
@@ -48,6 +48,8 @@ class _Slot:
     decode_steps: int = 0
     accept_lens: List[int] = field(default_factory=list)
     max_new_tokens: int = 0
+    sig: Optional[tuple] = None        # sampling signature (None = greedy)
+    key: Optional[np.ndarray] = None   # [2] uint32 PRNG key data
 
     @property
     def active(self) -> bool:
@@ -84,6 +86,7 @@ class BatchedSamdEngine:
         self.results: Dict[int, Outputs] = {}
         self._next_id = 0
         self._decode_fn = self._build_decode_step()
+        self._sampling_fns: Dict[tuple, callable] = {}
         self._prefill_fns: Dict[int, callable] = {}
         self._pad_draft = pack_draft_host([0], [-1], samd_cfg.max_predicts)
 
@@ -129,6 +132,65 @@ class BatchedSamdEngine:
 
         return step
 
+    def _build_sampling_step(self, sig: tuple):
+        """Batched mixed-mode step: per-slot greedy OR sampling acceptance.
+
+        Both accept rules run vmapped over the batch and the per-slot result
+        is selected by ``samp_flags`` — one compiled program serves any mix
+        of greedy and sampling requests sharing one sampling signature
+        (acceptance cost is negligible next to the batched forward)."""
+        cfg, S = self.model_cfg, self.S
+        M = self.samd_cfg.max_predicts
+        D = self.samd_cfg.max_tree_depth
+        K = HARVEST_TOPK
+        accept = make_accept_fn(sig)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(params, kv_k, kv_v, cache_lens, drafts, keys, samp_flags):
+            # drafts: [B, 2, M]; cache_lens: [B]; keys: [B, 2] uint32
+            tokens, tree_mask, depths, paths = jax.vmap(
+                lambda d: unpack_draft(d, D))(drafts)
+            mask = jax.vmap(
+                lambda tm, cl: block_decode_mask(tm, cl, S)[0]
+            )(tree_mask, cache_lens)                      # [B, M, S]
+            pos = depths + cache_lens[:, None]
+            logits, _, kv_k, kv_v = forward(
+                params, cfg, tokens, pos, kv_k, kv_v, cache_lens, mask)
+            split = jax.vmap(jax.random.split)(keys)      # [B, 2, 2]
+            subs, new_keys = split[:, 0], split[:, 1]
+            g = jax.vmap(greedy_accept)(logits, tokens, paths)
+            s = jax.vmap(accept)(logits, tokens, paths, subs)
+
+            def sel(a, b):
+                f = samp_flags.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(f, a, b)
+
+            accept_len = sel(s.accept_len, g.accept_len)
+            path_nodes = sel(s.path_nodes, g.path_nodes)
+            accepted = sel(s.accepted_tokens, g.accepted_tokens)
+            next_token = sel(s.next_token, g.next_token)
+
+            def compact(kv):
+                def one(kv_b, off, idx):
+                    blk = jax.lax.dynamic_slice(
+                        kv_b, (0, 0, off, 0),
+                        (kv_b.shape[0], kv_b.shape[1], M, kv_b.shape[3]))
+                    selkv = jnp.take(blk, idx, axis=2)
+                    return jax.lax.dynamic_update_slice(
+                        kv_b, selkv, (0, 0, off, 0))
+                return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(
+                    kv, cache_lens, path_nodes)
+
+            kv_k = compact(kv_k)
+            kv_v = compact(kv_v)
+            pack = jnp.concatenate([
+                accept_len[:, None], next_token[:, None],
+                accepted], axis=1).astype(jnp.int32)
+            topk_tok = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+            return kv_k, kv_v, pack, topk_tok, new_keys
+
+        return step
+
     def _build_prefill(self, P: int):
         cfg, S, K = self.model_cfg, self.S, HARVEST_TOPK
 
@@ -146,7 +208,7 @@ class BatchedSamdEngine:
                 logits[0], true_len - 1, axis=0, keepdims=False)
             next_token = jnp.argmax(last_logits).astype(jnp.int32)
             topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
-            return kv_k, kv_v, next_token, topk_tok
+            return kv_k, kv_v, next_token, topk_tok, last_logits
 
         return prefill
 
@@ -169,9 +231,19 @@ class BatchedSamdEngine:
                 self._prefill_fns[P] = self._build_prefill(P)
             padded = np.zeros(P, np.int32)
             padded[:len(input_ids)] = input_ids
-            self.kv_k, self.kv_v, next_token, topk = self._prefill_fns[P](
+            (self.kv_k, self.kv_v, next_token, topk,
+             last_logits) = self._prefill_fns[P](
                 self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
                 jnp.int32(len(input_ids)), jnp.int32(slot_idx))
+            sig = key = None
+            if not gen.greedy:
+                sig = gen.sampling_signature
+                k = jax.random.PRNGKey(gen.seed)
+                if gen.temperature > 0:
+                    k, sub = jax.random.split(k)
+                    next_token = jax.random.categorical(
+                        sub, last_logits / gen.temperature)
+                key = np.asarray(k)
             drafter = self.drafter_factory()
             drafter.reset()
             wants_harvest = getattr(drafter, "wants_harvest", False)
@@ -182,7 +254,7 @@ class BatchedSamdEngine:
                 request_id=rid, drafter=drafter,
                 cache_len=len(input_ids), start_token=int(next_token),
                 prompt_len=len(input_ids), output=list(input_ids),
-                max_new_tokens=gen.max_new_tokens)
+                max_new_tokens=gen.max_new_tokens, sig=sig, key=key)
 
     def _finish(self, slot_idx: int) -> None:
         s = self.slots[slot_idx]
@@ -207,9 +279,34 @@ class BatchedSamdEngine:
         if not metas:
             return
         cache_lens = np.asarray([s.cache_len for s in self.slots], np.int32)
-        self.kv_k, self.kv_v, pack, topk = self._decode_fn(
-            self.params, self.kv_k, self.kv_v, jnp.asarray(cache_lens),
-            jnp.asarray(drafts))
+        sigs = {s.sig for s in self.slots if s.active and s.sig is not None}
+        if len(sigs) > 1:
+            raise ValueError(
+                "concurrent sampling requests must share one sampling "
+                f"signature; got {sigs}")
+        if sigs:
+            sig = next(iter(sigs))
+            if sig not in self._sampling_fns:
+                self._sampling_fns[sig] = self._build_sampling_step(sig)
+            keys = np.zeros((self.B, 2), np.uint32)
+            flags = np.zeros((self.B,), bool)
+            for i, s in enumerate(self.slots):
+                if s.active and s.sig is not None:
+                    keys[i] = s.key
+                    flags[i] = True
+            self.kv_k, self.kv_v, pack, topk, new_keys = \
+                self._sampling_fns[sig](
+                    self.params, self.kv_k, self.kv_v,
+                    jnp.asarray(cache_lens), jnp.asarray(drafts),
+                    jnp.asarray(keys), jnp.asarray(flags))
+            new_keys = np.asarray(new_keys)
+            for i, s in enumerate(self.slots):
+                if s.active and s.sig is not None:
+                    s.key = new_keys[i]
+        else:
+            self.kv_k, self.kv_v, pack, topk = self._decode_fn(
+                self.params, self.kv_k, self.kv_v, jnp.asarray(cache_lens),
+                jnp.asarray(drafts))
         pack = np.asarray(pack)
         topk_np = None
         for i, d in metas:
@@ -336,9 +433,18 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
                            self.S))
             tables = self._tables()
             kv_k, kv_v = self._gather_fn(self.pool.k, self.pool.v, tables)
-            kv_k, kv_v, next_token, topk = self._prefill_fns[P](
+            kv_k, kv_v, next_token, topk, last_logits = self._prefill_fns[P](
                 self.params, kv_k, kv_v, jnp.asarray(padded),
                 jnp.int32(len(input_ids)), jnp.int32(slot_idx))
+            sig = key = None
+            if not gen.greedy:
+                sig = gen.sampling_signature
+                k = jax.random.PRNGKey(gen.seed)
+                if gen.temperature > 0:
+                    k, sub = jax.random.split(k)
+                    next_token = jax.random.categorical(
+                        sub, last_logits / gen.temperature)
+                key = np.asarray(k)
             # scatter the whole prefilled slot back (page-aligned region)
             from .paged_kv import scatter_block
 
@@ -365,7 +471,7 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
                 request_id=rid, drafter=drafter,
                 cache_len=len(input_ids), start_token=int(next_token),
                 prompt_len=len(input_ids), output=list(input_ids),
-                max_new_tokens=gen.max_new_tokens)
+                max_new_tokens=gen.max_new_tokens, sig=sig, key=key)
 
     def _finish(self, slot_idx: int) -> None:
         self.page_reqs[slot_idx].release()

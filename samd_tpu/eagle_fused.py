@@ -170,6 +170,7 @@ class FusedEagle2Engine:
         self.ekv_k, self.ekv_v = init_eagle_kv(self.net_cfg, 1, max_cache_len)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
+        self._fused_sampling: Dict[tuple, callable] = {}
 
     # ------------------------------------------------------------------
     def _head(self):
@@ -200,11 +201,12 @@ class FusedEagle2Engine:
             last_hidden = jax.lax.dynamic_index_in_dim(
                 hidden[0], true_len - 1, axis=0, keepdims=False)
             return (kv_k, kv_v, ekv_k, ekv_v,
-                    jnp.argmax(last).astype(jnp.int32), last_hidden)
+                    jnp.argmax(last).astype(jnp.int32), last_hidden, last)
 
         return prefill
 
-    def _build_fused(self):
+    def _build_fused(self, sig=None):
+        _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         cfg, ncfg, S = self.model_cfg, self.net_cfg, self.S
         K, depth, total, M = self.topk, self.depth, self.total, self.M
         TREE_SLOTS = 1 + depth * K
@@ -213,6 +215,11 @@ class FusedEagle2Engine:
         embed = self.params["embed"]
         head = self._head()
         D_PATH = M  # accepted-path pad (max depth of verify paths)
+        sampling = sig is not None
+        if sampling:
+            from .verify import make_accept_fn
+
+            accept_fn = make_accept_fn(sig)
 
         expand, _ = make_eagle_expand(
             net_cfg=ncfg, embed=embed, head=head, S=S, depth=depth,
@@ -220,17 +227,17 @@ class FusedEagle2Engine:
 
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, history,
-                  hist_len, start_token, last_hidden, budget, eos_id):
+                  hist_len, start_token, last_hidden, budget, eos_id, key):
             def cond(st):
                 (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start,
-                 last_hidden, budget, done, steps) = st
+                 last_hidden, budget, done, steps, key) = st
                 return (~done & (steps < self.steps_per_call) & (budget > 0)
                         & (hist_len + M <= S)
                         & (hist_len + TREE_SLOTS <= S))
 
             def body(st):
                 (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start,
-                 last_hidden, budget, done, steps) = st
+                 last_hidden, budget, done, steps, key) = st
                 packed, ekv_k, ekv_v = expand(
                     net_params, ekv_k, ekv_v, hist_len - 1, last_hidden,
                     start)
@@ -241,9 +248,13 @@ class FusedEagle2Engine:
                 logits, hidden, kv_k, kv_v = forward(
                     params, cfg, jnp.maximum(toks, 0)[None],
                     depths[None, :] + hist_len, kv_k, kv_v, hist_len, mask)
-                res = greedy_accept(logits[0], packed[0], paths)
-                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M)
-                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M)
+                if sampling:
+                    key, sub = jax.random.split(key)
+                    res = accept_fn(logits[0], packed[0], paths, sub)
+                else:
+                    res = greedy_accept(logits[0], packed[0], paths)
+                kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M, seq_axis=_sa)
+                kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M, seq_axis=_sa)
                 alen = res.accept_len
                 acc = jnp.maximum(res.accepted_tokens, 0)
                 Dd = acc.shape[0]
@@ -273,11 +284,12 @@ class FusedEagle2Engine:
                 budget = budget - alen
                 done = any_eos | (budget <= 0)
                 return (kv_k, kv_v, ekv_k, ekv_v, history, hist_len,
-                        res.next_token, last_hidden, budget, done, steps + 1)
+                        res.next_token, last_hidden, budget, done, steps + 1,
+                        key)
 
             init = (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start_token,
-                    last_hidden, budget, jnp.bool_(False), jnp.int32(0))
-            return jax.lax.while_loop(cond, body, init)
+                    last_hidden, budget, jnp.bool_(False), jnp.int32(0), key)
+            return jax.lax.while_loop(cond, body, init)[:-1]
 
         return fused
 
@@ -292,10 +304,22 @@ class FusedEagle2Engine:
         padded = np.zeros(P, np.int32)
         padded[:len(input_ids)] = input_ids
         (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, next_token,
-         last_hidden) = self._prefill_fns[P](
+         last_hidden, last_logits) = self._prefill_fns[P](
             self.params, self.net_params, self.kv_k, self.kv_v,
             self.ekv_k, self.ekv_v, jnp.asarray(padded),
             jnp.int32(len(input_ids)))
+        key = jax.random.PRNGKey(gen.seed)
+        if gen.greedy:
+            fused = self._fused
+        else:
+            sig = gen.sampling_signature
+            if sig not in self._fused_sampling:
+                self._fused_sampling[sig] = self._build_fused(sig)
+            fused = self._fused_sampling[sig]
+            if gen.temperature > 0:
+                key, sub = jax.random.split(key)
+                next_token = jax.random.categorical(
+                    sub, last_logits / gen.temperature).astype(jnp.int32)
 
         from .fused_base import init_history
 
@@ -306,11 +330,12 @@ class FusedEagle2Engine:
         done = False
         decode_steps = 0
         while not done:
+            key, sub = jax.random.split(key)
             (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, history, hist_len,
-             start, last_hidden, budget, done_d, steps) = self._fused(
+             start, last_hidden, budget, done_d, steps) = fused(
                 self.params, self.net_params, self.kv_k, self.kv_v,
                 self.ekv_k, self.ekv_v, history, hist_len, start, last_hidden,
-                budget, jnp.int32(self.eos_token_id))
+                budget, jnp.int32(self.eos_token_id), sub)
             decode_steps += int(steps)
             done = bool(done_d) or int(steps) == 0 or \
                 int(hist_len) + self.M > self.S

@@ -146,6 +146,7 @@ class SamdEngine:
         return logits, hidden, draft_tokens, paths, kv_k, kv_v
 
     def _build_decode_step(self):
+        _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         M = self.samd_cfg.max_predicts
         K = self.harvest_topk
         return_hidden = getattr(self.drafter, "wants_hidden", False)
@@ -155,8 +156,8 @@ class SamdEngine:
             logits, hidden, draft_tokens, paths, kv_k, kv_v = \
                 self._verify_core(params, kv_k, kv_v, cache_len, draft)
             res = greedy_accept(logits[0], draft_tokens, paths)
-            kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M)
-            kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M)
+            kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M, seq_axis=_sa)
+            kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M, seq_axis=_sa)
             # one-transfer result: [accept_len, next_token, path tokens...]
             pack = jnp.concatenate([
                 res.accept_len[None], res.next_token[None],
@@ -171,9 +172,12 @@ class SamdEngine:
         return decode_step
 
     def _build_sampling_step(self, sig: tuple):
+        _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         """One compiled sampling step per GenerationConfig.sampling_signature
         (temperature, top_p, top_k, accept_mode, posterior knobs)."""
-        temperature, top_p, top_k, mode, pthr, palpha = sig
+        from .verify import make_accept_fn
+
+        accept = make_accept_fn(sig)
         M = self.samd_cfg.max_predicts
         K = self.harvest_topk
 
@@ -183,25 +187,9 @@ class SamdEngine:
         def decode_step(params, kv_k, kv_v, cache_len, draft, key):
             logits, hidden, draft_tokens, paths, kv_k, kv_v = \
                 self._verify_core(params, kv_k, kv_v, cache_len, draft)
-            if mode == "typical":
-                from .verify import typical_accept
-
-                res = typical_accept(
-                    logits[0], draft_tokens, paths, key,
-                    temperature=temperature, posterior_threshold=pthr,
-                    posterior_alpha=palpha)
-            elif mode == "nucleus":
-                from .verify import nucleus_accept
-
-                res = nucleus_accept(
-                    logits[0], draft_tokens, paths, key,
-                    temperature=temperature, top_p=top_p)
-            else:
-                res = sampling_accept(
-                    logits[0], draft_tokens, paths, key,
-                    temperature=temperature, top_p=top_p, top_k=top_k)
-            kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M)
-            kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M)
+            res = accept(logits[0], draft_tokens, paths, key)
+            kv_k = compact_accepted(kv_k, cache_len, res.path_nodes, M, seq_axis=_sa)
+            kv_v = compact_accepted(kv_v, cache_len, res.path_nodes, M, seq_axis=_sa)
             pack = jnp.concatenate([
                 res.accept_len[None], res.next_token[None],
                 res.accepted_tokens]).astype(jnp.int32)

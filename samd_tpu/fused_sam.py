@@ -150,6 +150,66 @@ def chain_sampling_accept(warped: jax.Array, draft_tokens: jax.Array,
     return alen, bonus
 
 
+def chain_posterior_accept(logits: jax.Array, draft_tokens: jax.Array,
+                           draft_len: jax.Array, key: jax.Array, *,
+                           temperature: float, mode: str,
+                           posterior_threshold: float = 0.3,
+                           posterior_alpha: float = 0.09,
+                           top_p: float = 0.0):
+    """Typical/nucleus posterior acceptance along a chain draft — the chain
+    specialization of verify.typical_accept / verify.nucleus_accept
+    (reference evaluation/model/token_recycle/utils.py:235-320).
+
+    Returns (accept_len, bonus_token); bonus sampled from the last accepted
+    node's (warped) distribution."""
+    from .verify import _process_logits
+
+    M = logits.shape[0]
+    warped = logits / jnp.maximum(temperature, 1e-5)
+    if mode == "nucleus":
+        warped = _process_logits(warped, 1.0, top_p, 0)
+    probs = jax.nn.softmax(warped, axis=-1)                     # [M, V]
+    k1, k2 = jax.random.split(key)
+    pos = jnp.arange(M)
+    tok = draft_tokens
+    if mode == "typical":
+        entropy = -jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1)
+        thresh = jnp.minimum(posterior_threshold,
+                             jnp.exp(-entropy) * posterior_alpha)
+        cand_p = probs[jnp.maximum(pos - 1, 0), tok]
+        ok = cand_p > thresh[jnp.maximum(pos - 1, 0)]
+    else:  # nucleus: accept iff the token equals the parent's top-p sample
+        sampled = jax.random.categorical(k1, warped, axis=-1
+                                         ).astype(jnp.int32)    # [M]
+        ok = tok == sampled[jnp.maximum(pos - 1, 0)]
+    ok = ok & (pos < draft_len)
+    alen = jnp.cumprod(ok[1:].astype(jnp.int32)).sum() + 1
+    bonus = jax.random.categorical(k2, warped[alen - 1]).astype(jnp.int32)
+    return alen.astype(jnp.int32), bonus
+
+
+def make_chain_accept_fn(sig: tuple):
+    """(warped-or-raw logits [M,V], draft_tokens [M], draft_len, key) →
+    (accept_len, bonus) for a GenerationConfig.sampling_signature."""
+    from .verify import _process_logits
+
+    temperature, top_p, top_k, mode, pthr, palpha = sig
+    if mode == "typical":
+        return functools.partial(
+            chain_posterior_accept, temperature=temperature, mode="typical",
+            posterior_threshold=pthr, posterior_alpha=palpha)
+    if mode == "nucleus":
+        return functools.partial(
+            chain_posterior_accept, temperature=temperature, mode="nucleus",
+            top_p=top_p)
+
+    def rejection(logits, draft_tokens, draft_len, key):
+        warped = _process_logits(logits, temperature, top_p, top_k)
+        return chain_sampling_accept(warped, draft_tokens, draft_len, key)
+
+    return rejection
+
+
 class FusedSamEngine:
     def __init__(self, model_cfg: ModelConfig, params: Params,
                  fs_cfg: Optional[FusedSamConfig] = None, *,
@@ -187,13 +247,15 @@ class FusedSamEngine:
                 jnp.int32(0), prefill_mask(1, P, S))
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
                                                 axis=0, keepdims=False)
-            return kv_k, kv_v, jnp.argmax(last).astype(jnp.int32)
+            return kv_k, kv_v, jnp.argmax(last).astype(jnp.int32), last
 
         return prefill
 
-    def _build_fused(self, sampling: bool = False, temperature: float = 1.0,
-                     top_p: float = 0.0, top_k: int = 0):
+    def _build_fused(self, sig: Optional[tuple] = None):
         from .fused_base import make_retrieval_draft
+
+        sampling = sig is not None
+        accept = make_chain_accept_fn(sig) if sampling else None
 
         cfg, S = self.model_cfg, self.S
         fc = self.cfg
@@ -245,13 +307,9 @@ class FusedSamEngine:
                     chain_pos[None, :] + hist_len, kv_k, kv_v, hist_len,
                     mask)
                 if sampling:
-                    from .verify import _process_logits
-
                     key, sub = jax.random.split(key)
-                    warped = _process_logits(logits[0], temperature, top_p,
-                                             top_k)
-                    alen, bonus = chain_sampling_accept(
-                        warped, draft_tokens, draft_len, sub)
+                    alen, bonus = accept(logits[0], draft_tokens, draft_len,
+                                         sub)
                 else:
                     argmax_tok = jnp.argmax(logits[0],
                                             axis=-1).astype(jnp.int32)
@@ -296,20 +354,22 @@ class FusedSamEngine:
             self._prefill_fns[P] = self._build_prefill(P)
         padded = np.zeros(P, np.int32)
         padded[:len(input_ids)] = input_ids
-        self.kv_k, self.kv_v, next_token = self._prefill_fns[P](
+        self.kv_k, self.kv_v, next_token, last_logits = self._prefill_fns[P](
             self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
             jnp.int32(len(input_ids)))
+        key = jax.random.PRNGKey(gen.seed)
 
         if gen.greedy:
             fused = self._fused
         else:
-            sig = (gen.temperature, gen.top_p, gen.top_k)
+            sig = gen.sampling_signature
             if sig not in self._fused_sampling:
-                self._fused_sampling[sig] = self._build_fused(
-                    sampling=True, temperature=gen.temperature,
-                    top_p=gen.top_p, top_k=gen.top_k)
+                self._fused_sampling[sig] = self._build_fused(sig)
             fused = self._fused_sampling[sig]
-        key = jax.random.PRNGKey(gen.seed)
+            if gen.temperature > 0:
+                key, sub = jax.random.split(key)
+                next_token = jax.random.categorical(
+                    sub, last_logits / gen.temperature).astype(jnp.int32)
 
         from .fused_base import init_history
 
@@ -378,6 +438,7 @@ class BatchedFusedSamEngine:
         self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
         self._prefill_fns = {}
         self._fused = self._build_fused()
+        self._fused_sampling: Dict[tuple, callable] = {}
         # host-side slot bookkeeping
         self._slot_req = [None] * batch_size     # request id or None
         self._slot_prompt = [0] * batch_size
@@ -405,13 +466,16 @@ class BatchedFusedSamEngine:
             histories = jax.lax.dynamic_update_slice(histories, row, (slot, 0))
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
                                                 axis=0, keepdims=False)
-            return kv_k2, kv_v2, histories, jnp.argmax(last).astype(jnp.int32)
+            return (kv_k2, kv_v2, histories,
+                    jnp.argmax(last).astype(jnp.int32), last)
 
         return prefill
 
-    def _build_fused(self):
+    def _build_fused(self, sig: Optional[tuple] = None):
         from .fused_base import make_retrieval_draft
 
+        sampling = sig is not None
+        accept = make_chain_accept_fn(sig) if sampling else None
         cfg, S, B = self.model_cfg, self.S, self.B
         fc = self.cfg
         M = fc.block
@@ -446,15 +510,15 @@ class BatchedFusedSamEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, histories, hist_lens, starts, budgets,
-                  actives, eos_id):
+                  actives, eos_id, keys, samp_flags):
             def cond(st):
                 (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
-                 steps, slot_steps) = st
+                 steps, slot_steps, keys) = st
                 return jnp.any(lives) & (steps < fc.steps_per_call)
 
             def body(st):
                 (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
-                 steps, slot_steps) = st
+                 steps, slot_steps, keys) = st
                 drafts, dlens = jax.vmap(make_draft)(histories, hist_lens,
                                                      starts)       # [B,M],[B]
                 masks = jax.vmap(slot_mask)(hist_lens, dlens)      # [B,M,S]
@@ -467,6 +531,15 @@ class BatchedFusedSamEngine:
                 hit = (drafts[:, 1:] == argmax_tok[:, :-1]) & in_draft[:, 1:]
                 alens = jnp.cumprod(hit.astype(jnp.int32), axis=1
                                     ).sum(axis=1) + 1              # [B]
+                bonus = argmax_tok[jnp.arange(B),
+                                   jnp.maximum(alens - 1, 0)]
+                if sampling:
+                    split = jax.vmap(jax.random.split)(keys)  # [B, 2, 2]
+                    subs, keys = split[:, 0], split[:, 1]
+                    alens_s, bonus_s = jax.vmap(accept)(
+                        logits, drafts, dlens, subs)
+                    alens = jnp.where(samp_flags, alens_s, alens)
+                    bonus = jnp.where(samp_flags, bonus_s, bonus)
                 is_eos = (drafts == eos_id) & \
                     (chain_pos[None, :] < alens[:, None])
                 any_eos = jnp.any(is_eos, axis=1)
@@ -474,8 +547,10 @@ class BatchedFusedSamEngine:
                                   jnp.argmax(is_eos, axis=1).astype(jnp.int32)
                                   + 1, alens)
                 alens = jnp.where(lives, alens, 0)
-                bonus = argmax_tok[jnp.arange(B),
-                                   jnp.maximum(alens - 1, 0)]
+                bonus = jnp.where(
+                    any_eos,
+                    argmax_tok[jnp.arange(B), jnp.maximum(alens - 1, 0)],
+                    bonus)
                 histories = jax.vmap(
                     lambda h, a, o: jax.lax.dynamic_update_slice(h, a, (o,))
                 )(histories, jnp.maximum(drafts, 0), hist_lens)
@@ -486,15 +561,15 @@ class BatchedFusedSamEngine:
                 lives = lives & ~any_eos & (budgets > 0) & \
                     (hist_lens + M <= S)
                 return (kv_k, kv_v, histories, hist_lens, starts, budgets,
-                        lives, steps + 1, slot_steps)
+                        lives, steps + 1, slot_steps, keys)
 
             lives = actives & (budgets > 0) & (hist_lens + M <= S)
             init = (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
-                    jnp.int32(0), jnp.zeros((B,), jnp.int32))
+                    jnp.int32(0), jnp.zeros((B,), jnp.int32), keys)
             (kv_k, kv_v, histories, hist_lens, starts, budgets, lives, steps,
-             slot_steps) = jax.lax.while_loop(cond, body, init)
+             slot_steps, keys) = jax.lax.while_loop(cond, body, init)
             return (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
-                    slot_steps)
+                    slot_steps, keys)
 
         return fused
 
@@ -513,6 +588,9 @@ class BatchedFusedSamEngine:
         starts = np.zeros(B, np.int32)
         budgets = np.zeros(B, np.int32)
         actives = np.zeros(B, bool)
+        samp_flags = np.zeros(B, bool)
+        keys = np.zeros((B, 2), np.uint32)
+        slot_sigs = [None] * B
 
         while self.queue or actives.any():
             # admit
@@ -525,10 +603,22 @@ class BatchedFusedSamEngine:
                     self._prefill_fns[P] = self._build_prefill(P)
                 padded = np.zeros(P, np.int32)
                 padded[:len(ids)] = ids
-                (self.kv_k, self.kv_v, self.histories, nt) = \
+                (self.kv_k, self.kv_v, self.histories, nt, last_logits) = \
                     self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
                                          self.histories, jnp.asarray(padded),
                                          jnp.int32(len(ids)), jnp.int32(i))
+                if not gen.greedy:
+                    slot_sigs[i] = gen.sampling_signature
+                    samp_flags[i] = True
+                    k = jax.random.PRNGKey(gen.seed)
+                    if gen.temperature > 0:
+                        k, sub = jax.random.split(k)
+                        nt = jax.random.categorical(
+                            sub, last_logits / gen.temperature)
+                    keys[i] = np.asarray(k)
+                else:
+                    slot_sigs[i] = None
+                    samp_flags[i] = False
                 self._slot_req[i] = rid
                 self._slot_prompt[i] = len(ids)
                 self._slot_max_new[i] = gen.max_new_tokens
@@ -539,13 +629,27 @@ class BatchedFusedSamEngine:
                 actives[i] = True
             if not actives.any():
                 break
+            sigs = {s for s in slot_sigs if s is not None}
+            if len(sigs) > 1:
+                raise ValueError(
+                    "concurrent sampling requests must share one sampling "
+                    f"signature; got {sigs}")
+            if sigs:
+                sig = next(iter(sigs))
+                if sig not in self._fused_sampling:
+                    self._fused_sampling[sig] = self._build_fused(sig)
+                fused = self._fused_sampling[sig]
+            else:
+                fused = self._fused
             # fused segment
             (self.kv_k, self.kv_v, self.histories, hl, st, bu, lives,
-             slot_steps) = self._fused(
+             slot_steps, new_keys) = fused(
                 self.params, self.kv_k, self.kv_v, self.histories,
                 jnp.asarray(hist_lens), jnp.asarray(starts),
                 jnp.asarray(budgets), jnp.asarray(actives),
-                jnp.int32(self.eos_token_id))
+                jnp.int32(self.eos_token_id), jnp.asarray(keys),
+                jnp.asarray(samp_flags))
+            keys = np.asarray(new_keys).copy()
             hist_lens = np.asarray(hl).copy()
             starts = np.asarray(st).copy()
             budgets = np.asarray(bu).copy()
@@ -572,5 +676,7 @@ class BatchedFusedSamEngine:
                     self._slot_steps[i], [])
                 actives[i] = False
                 self._slot_req[i] = None
+                slot_sigs[i] = None
+                samp_flags[i] = False
         out, self.results = self.results, {}
         return out

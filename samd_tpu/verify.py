@@ -21,6 +21,7 @@ with a fixed trip count under ``lax``.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -176,6 +177,25 @@ def nucleus_accept(logits: jax.Array, draft_tokens: jax.Array,
                               1e-20))
     return _best_row_result(warped, draft_tokens, retrieve_indices, mask,
                             lik, keys[1])
+
+
+def make_accept_fn(sig: tuple):
+    """Accept-rule factory for a ``GenerationConfig.sampling_signature``
+    ``(temperature, top_p, top_k, accept_mode, posterior_threshold,
+    posterior_alpha)`` → ``fn(logits, draft_tokens, retrieve, key)``.
+
+    Shared by every engine that compiles one sampling step per signature
+    (SamdEngine, BatchedSamdEngine, fused engines)."""
+    temperature, top_p, top_k, mode, pthr, palpha = sig
+    if mode == "typical":
+        return functools.partial(typical_accept, temperature=temperature,
+                                 posterior_threshold=pthr,
+                                 posterior_alpha=palpha)
+    if mode == "nucleus":
+        return functools.partial(nucleus_accept, temperature=temperature,
+                                 top_p=top_p)
+    return functools.partial(sampling_accept, temperature=temperature,
+                             top_p=top_p, top_k=top_k)
 
 
 def sampling_accept(logits: jax.Array, draft_tokens: jax.Array,

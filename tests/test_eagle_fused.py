@@ -67,3 +67,25 @@ def test_fused_eagle2_eos(tiny_model):
     gen_part = out.output_ids[len(p):]
     assert eos in gen_part
     assert gen_part.index(eos) == len(gen_part) - 1
+
+
+@pytest.mark.parametrize("mode,knobs", [
+    ("rejection", dict(temperature=0.8, top_p=0.9)),
+    ("typical", dict(temperature=0.8)),
+    ("nucleus", dict(temperature=0.8, top_p=0.9)),
+])
+def test_fused_eagle2_sampling_runs(tiny_model, mode, knobs):
+    """Sampling modes run through the fused loop, stay in-vocab and are
+    deterministic per seed."""
+    cfg, params = tiny_model
+    eng = FusedEagle2Engine(cfg, params, depth=3, topk=4, total_tokens=15,
+                            steps_per_call=6, max_cache_len=256,
+                            eos_token_id=-1, prefill_buckets=(32,))
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256,
+                           greedy=False, accept_mode=mode, seed=9, **knobs)
+    p = np.random.default_rng(1).integers(3, 128, size=20).tolist()
+    out1 = eng.generate(p, gen)
+    out2 = eng.generate(p, gen)
+    assert out1.output_ids == out2.output_ids
+    assert len(out1.output_ids) > len(p)
+    assert all(0 <= t < cfg.vocab_size for t in out1.output_ids)

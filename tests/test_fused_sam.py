@@ -190,3 +190,24 @@ def test_fused_sam_sampling(tiny_model):
                             greedy=False, temperature=0.8, seed=99)
     out_c = eng.generate(p, gen2)
     assert out_c.output_ids != out_a.output_ids
+
+
+def test_fused_sam_posterior_accept_modes(tiny_model):
+    """Typical/nucleus chain acceptance run through the fused loop
+    (chain_posterior_accept), seed-deterministic and in-vocab."""
+    cfg, params = tiny_model
+    eng = FusedSamEngine(cfg, params,
+                         FusedSamConfig(n_predicts=15, steps_per_call=8,
+                                        corpus_capacity=256),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    p = np.random.default_rng(8).integers(3, 128, size=20).tolist()
+    for mode, knobs in (("typical", dict(temperature=0.8)),
+                        ("nucleus", dict(temperature=0.8, top_p=0.9))):
+        gen = GenerationConfig(max_new_tokens=16, max_cache_len=256,
+                               greedy=False, accept_mode=mode, seed=3,
+                               **knobs)
+        a = eng.generate(p, gen)
+        b = eng.generate(p, gen)
+        assert a.output_ids == b.output_ids, mode
+        assert all(0 <= t < cfg.vocab_size for t in a.output_ids), mode
