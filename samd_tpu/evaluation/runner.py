@@ -51,18 +51,35 @@ class IdentityCodec:
     def decode(self, ids: Sequence[int]):
         return list(ids)
 
+    def encode_conversation(self, turns, answers) -> List[int]:
+        """Token-id transcript: raw alternating concatenation."""
+        out: List[int] = []
+        for i, t in enumerate(turns):
+            out.extend(t)
+            if i < len(answers):
+                out.extend(answers[i])
+        return out
+
 
 def run_eval(engine, questions: Sequence[Question], out_path: str, *,
              gen_config: Optional[GenerationConfig] = None,
              codec=None, warmup: int = 3,
              multi_turn_context: bool = True,
-             model_id: str = "samd_tpu") -> Dict:
+             model_id: str = "samd_tpu",
+             append: bool = False) -> Dict:
     """Evaluate `engine` over `questions`, writing answer JSONL to
     `out_path`.  Returns aggregate stats.
 
     Answer schema mirrors /root/reference/evaluation/eval_vicuna.py:229-243:
     {question_id, category, model_id, choices: [{turns, idxs(decode_steps),
     new_tokens, wall_time, accept_lengths}], tstamp}.
+
+    Multi-turn prompts are the codec's full conversation transcript
+    (``encode_conversation(turns_so_far, answers_so_far)``), matching the
+    reference's FastChat threading (eval_vicuna.py:96-107).
+
+    Fault tolerance: a question whose generation raises records ``"ERROR"``
+    turns and the run continues (reference eval_vicuna.py:218-220).
     """
     gen = gen_config or GenerationConfig()
     codec = codec or IdentityCodec()
@@ -70,36 +87,53 @@ def run_eval(engine, questions: Sequence[Question], out_path: str, *,
     # Warmup: compile all step shapes before timing (reference runs 3 full
     # generations, eval_vicuna.py:93-156).
     for q in list(questions)[:warmup]:
-        ids = codec.encode(q.turns[0])
-        engine.generate(ids, gen)
+        try:
+            engine.generate(codec.encode(q.turns[0]), gen)
+        except Exception:
+            pass
+    errors = 0
 
     total_tokens = 0
     total_steps = 0
     total_time = 0.0
     accept_all: List[int] = []
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    with open(out_path, "w") as fout:
+    with open(out_path, "a" if append else "w") as fout:
         for q in questions:
             turns_out, idxs, new_tokens, wall_time, accepts = [], [], [], [], []
-            context: List[int] = []
-            for turn in q.turns:
-                ids = codec.encode(turn)
-                prompt = context + ids if multi_turn_context else ids
-                t0 = time.perf_counter()
-                out = engine.generate(prompt, gen)
-                dt = time.perf_counter() - t0
-                gen_ids = out.output_ids[len(prompt):]
-                turns_out.append(codec.decode(gen_ids))
-                idxs.append(out.decode_steps)
-                new_tokens.append(out.decode_tokens)
-                wall_time.append(dt)
-                accepts.append(out.accept_length_per_step)
-                accept_all.extend(out.accept_length_per_step)
-                total_tokens += out.decode_tokens
-                total_steps += out.decode_steps
-                total_time += dt
-                if multi_turn_context:
-                    context = out.output_ids
+            answers: List[object] = []
+            try:
+                for i in range(len(q.turns)):
+                    if multi_turn_context:
+                        prompt = codec.encode_conversation(
+                            q.turns[:i + 1], answers)
+                    else:
+                        prompt = codec.encode(q.turns[i])
+                    t0 = time.perf_counter()
+                    out = engine.generate(prompt, gen)
+                    dt = time.perf_counter() - t0
+                    gen_ids = out.output_ids[len(prompt):]
+                    answer = codec.decode(gen_ids)
+                    answers.append(answer)
+                    turns_out.append(answer)
+                    idxs.append(out.decode_steps)
+                    new_tokens.append(out.decode_tokens)
+                    wall_time.append(dt)
+                    accepts.append(out.accept_length_per_step)
+                    accept_all.extend(out.accept_length_per_step)
+                    total_tokens += out.decode_tokens
+                    total_steps += out.decode_steps
+                    total_time += dt
+            except Exception as e:
+                # record the failure and keep evaluating (reference
+                # eval_vicuna.py:218-220 records "ERROR" per question)
+                print(f"ERROR on question {q.question_id}: {e!r}")
+                errors += 1
+                turns_out.append("ERROR")
+                idxs.append(0)
+                new_tokens.append(0)
+                wall_time.append(0.0)
+                accepts.append([])
             fout.write(json.dumps({
                 "question_id": q.question_id,
                 "category": q.category,
@@ -120,6 +154,7 @@ def run_eval(engine, questions: Sequence[Question], out_path: str, *,
         "total_time": total_time,
         "tokens_per_s": total_tokens / total_time if total_time else 0.0,
         "mean_accepted_tokens": mean_accept,
+        "errors": errors,
     }
 
 

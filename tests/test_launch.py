@@ -1,0 +1,59 @@
+"""Multi-process eval fan-out (evaluation/launch.py) — the reference's ray
+chunking (/root/reference/evaluation/eval_vicuna.py:39-68) as OS processes:
+2 CPU workers each evaluate their question share; the parent merges into one
+deduplicated, question_id-sorted answer file."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _write_questions(path, n=6, vocab=256):
+    rng = np.random.default_rng(0)
+    with open(path, "w") as f:
+        for qid in range(n):
+            turns = [rng.integers(3, vocab, size=24).tolist()]
+            f.write(json.dumps({"question_id": qid, "category": "qa",
+                                "turns": turns}) + "\n")
+
+
+def test_two_process_launch_merges_sorted(tmp_path):
+    qfile = str(tmp_path / "questions.jsonl")
+    out = str(tmp_path / "answers.jsonl")
+    _write_questions(qfile)
+
+    res = subprocess.run(
+        [sys.executable, "-m", "samd_tpu.evaluation.launch",
+         "--question-file", qfile, "--out", out,
+         "--num-workers", "2", "--engine", "sam_only", "--cpu",
+         "--max-new-tokens", "8", "--max-cache-len", "256",
+         "--warmup", "0"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["workers"] == 2
+
+    with open(out) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    qids = [r["question_id"] for r in rows]
+    assert qids == sorted(qids) == list(range(6))
+    assert all(r["choices"][0]["new_tokens"][0] > 0 for r in rows)
+
+
+def test_single_process_launch(tmp_path):
+    qfile = str(tmp_path / "questions.jsonl")
+    out = str(tmp_path / "answers.jsonl")
+    _write_questions(qfile, n=2)
+    res = subprocess.run(
+        [sys.executable, "-m", "samd_tpu.evaluation.launch",
+         "--question-file", qfile, "--out", out,
+         "--engine", "ar", "--cpu", "--max-new-tokens", "4",
+         "--max-cache-len", "256", "--warmup", "0"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["total_tokens"] > 0
+    with open(out) as f:
+        assert len([l for l in f if l.strip()]) == 2
