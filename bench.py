@@ -175,7 +175,10 @@ def main():
     detail.update({
         "token_recycle_hybrid_speedup": round(tr_tps / ar_tps, 4),
         "token_recycle_mean_accept": round(tr_tok / max(tr_steps, 1), 3),
+        # tree-draft engines: equality is exact-in-exact-arithmetic; bf16
+        # near-tie argmaxes can flip on random weights (docs/EXACTNESS.md)
         "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
+        "token_recycle_equal_count": f"{tr_equal}/{len(oracle_outs)}",
     })
 
     # --- continuous batching throughput (B=4, same prompt mix) ------------
@@ -362,6 +365,8 @@ def main():
             "fused_sam_token_recycle_mean_accept": round(hy_accept, 3),
             "fused_sam_token_recycle_outputs_equal":
                 hy_equal == len(oracle64_outs),
+            "fused_sam_token_recycle_equal_count":
+                f"{hy_equal}/{len(oracle64_outs)}",
             "fused_sam_token_recycle_ms_per_step":
                 round(1000 * hy_dt / max(hy_steps, 1), 3),
             "fused_sam_token_recycle_sources":
@@ -431,6 +436,8 @@ def main():
             "fused_sam_eagle2_speedup": round(he_tps / ar_tps, 4),
             "fused_sam_eagle2_mean_accept": round(he_accept, 3),
             "fused_sam_eagle2_outputs_equal": he_equal == len(oracle64_outs),
+            "fused_sam_eagle2_equal_count":
+                f"{he_equal}/{len(oracle64_outs)}",
             "fused_sam_eagle2_ms_per_step":
                 round(1000 * he_dt / max(he_steps, 1), 3),
             "fused_sam_eagle2_sources":
