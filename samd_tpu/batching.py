@@ -263,6 +263,48 @@ class BatchedSamdEngine:
             out, s.decode_tokens, s.decode_steps, s.accept_lens)
         self.slots[slot_idx] = _Slot()
 
+    def _sampling_inputs(self):
+        """(sig, keys [B,2], flags [B]) for the current slots; sig is None
+        when every active slot is greedy.  Mixed non-greedy signatures are
+        rejected (one compiled program per signature)."""
+        sigs = {s.sig for s in self.slots if s.active and s.sig is not None}
+        if len(sigs) > 1:
+            raise ValueError(
+                "concurrent sampling requests must share one sampling "
+                f"signature; got {sigs}")
+        keys = np.zeros((self.B, 2), np.uint32)
+        flags = np.zeros((self.B,), bool)
+        for i, s in enumerate(self.slots):
+            if s.active and s.sig is not None:
+                keys[i] = s.key
+                flags[i] = True
+        return (next(iter(sigs)) if sigs else None), keys, flags
+
+    def _store_keys(self, new_keys) -> None:
+        new_keys = np.asarray(new_keys)
+        for i, s in enumerate(self.slots):
+            if s.active and s.sig is not None:
+                s.key = new_keys[i]
+
+    def _dispatch(self, cache_lens, drafts):
+        """Run one batched decode step; returns (pack, topk).  Subclasses
+        override to swap the KV backing (e.g. the paged pool)."""
+        sig, keys, flags = self._sampling_inputs()
+        if sig is not None:
+            if sig not in self._sampling_fns:
+                self._sampling_fns[sig] = self._build_sampling_step(sig)
+            self.kv_k, self.kv_v, pack, topk, new_keys = \
+                self._sampling_fns[sig](
+                    self.params, self.kv_k, self.kv_v,
+                    jnp.asarray(cache_lens), jnp.asarray(drafts),
+                    jnp.asarray(keys), jnp.asarray(flags))
+            self._store_keys(new_keys)
+        else:
+            self.kv_k, self.kv_v, pack, topk = self._decode_fn(
+                self.params, self.kv_k, self.kv_v, jnp.asarray(cache_lens),
+                jnp.asarray(drafts))
+        return pack, topk
+
     def _step(self) -> None:
         M = self.samd_cfg.max_predicts
         drafts = np.zeros((self.B, 2, M), np.int32)
@@ -279,34 +321,7 @@ class BatchedSamdEngine:
         if not metas:
             return
         cache_lens = np.asarray([s.cache_len for s in self.slots], np.int32)
-        sigs = {s.sig for s in self.slots if s.active and s.sig is not None}
-        if len(sigs) > 1:
-            raise ValueError(
-                "concurrent sampling requests must share one sampling "
-                f"signature; got {sigs}")
-        if sigs:
-            sig = next(iter(sigs))
-            if sig not in self._sampling_fns:
-                self._sampling_fns[sig] = self._build_sampling_step(sig)
-            keys = np.zeros((self.B, 2), np.uint32)
-            flags = np.zeros((self.B,), bool)
-            for i, s in enumerate(self.slots):
-                if s.active and s.sig is not None:
-                    keys[i] = s.key
-                    flags[i] = True
-            self.kv_k, self.kv_v, pack, topk, new_keys = \
-                self._sampling_fns[sig](
-                    self.params, self.kv_k, self.kv_v,
-                    jnp.asarray(cache_lens), jnp.asarray(drafts),
-                    jnp.asarray(keys), jnp.asarray(flags))
-            new_keys = np.asarray(new_keys)
-            for i, s in enumerate(self.slots):
-                if s.active and s.sig is not None:
-                    s.key = new_keys[i]
-        else:
-            self.kv_k, self.kv_v, pack, topk = self._decode_fn(
-                self.params, self.kv_k, self.kv_v, jnp.asarray(cache_lens),
-                jnp.asarray(drafts))
+        pack, topk = self._dispatch(cache_lens, drafts)
         pack = np.asarray(pack)
         topk_np = None
         for i, d in metas:
@@ -349,93 +364,192 @@ class BatchedSamdEngine:
 # ----------------------------------------------------------------------
 
 class PagedBatchedSamdEngine(BatchedSamdEngine):
-    """BatchedSamdEngine whose persistent KV lives in a shared page pool.
+    """BatchedSamdEngine whose persistent KV lives in a shared page pool that
+    the attention kernel consumes *directly*.
 
-    Per step: gather each slot's pages into the dense working view, run the
-    ordinary batched decode step, scatter the written draft-block region back
-    to pages.  The persistent footprint is ``n_pages × page_size`` tokens of
-    KV shared by all slots (memory scales with live tokens, not
-    B × max_cache_len); the dense view is a transient inside the step.  The
-    extra gather/scatter are async dispatches — on fetch-bound deployments
-    they are hidden behind the step's single blocking download."""
+    v1 gathered each slot's pages into a dense working view per step (a full
+    read+write of the live KV); v2 passes page tables into the paged flash
+    kernel (ops/paged_attention.py) — per step the kernel DMAs exactly the
+    live pages and the block write scatters into pages, so no dense copy
+    ever exists.  Persistent footprint: ``n_pages × page_size`` tokens of KV
+    shared by all slots (memory scales with live tokens, not
+    B × max_cache_len)."""
 
     def __init__(self, *args, n_pages: int = 64, page_size: int = 128,
-                 **kwargs):
+                 interpret: Optional[bool] = None, **kwargs):
         super().__init__(*args, **kwargs)
         from .paged_kv import PagedKVPool, PagedRequest
 
         if self.S % page_size != 0:
             raise ValueError("max_cache_len must be a multiple of page_size")
+        if getattr(self.model_cfg, "kv_layout", "sd") != "sd":
+            raise ValueError("the paged engine manages its own (transposed) "
+                             "page layout; use kv_layout='sd' model configs")
         self.pool = PagedKVPool(self.model_cfg, n_pages=n_pages,
-                                page_size=page_size)
+                                page_size=page_size, layout="dp")
         self.page_size = page_size
+        self.interpret = (jax.default_backend() == "cpu"
+                          if interpret is None else interpret)
         self.page_reqs = [PagedRequest(self.pool, self.S)
                           for _ in range(self.B)]
-        # the dense arrays become a scratch view; drop the big allocation
+        # the dense cache is never allocated
         self.kv_k = self.kv_v = None
-        self._gather_fn = self._build_gather()
-        self._scatter_fn = self._build_scatter()
+        self._paged_fns: Dict[Optional[tuple], callable] = {}
+        self._scatter_prefill_fns: Dict[int, callable] = {}
 
-    def _build_gather(self):
-        from .paged_kv import gather_request
+    # -- paged decode step ------------------------------------------------
+    def _build_paged_step(self, sig: Optional[tuple]):
+        from .paged_kv import paged_forward
 
-        @functools.partial(jax.jit)
-        def gather(pool_k, pool_v, tables):  # tables: [B, P]
-            ks, vs = jax.vmap(
-                lambda t: gather_request(pool_k, pool_v, t))(tables)
-            # [B, L, 1, KH, S, D] -> [L, B, KH, S, D]
-            return ks[:, :, 0].transpose(1, 0, 2, 3, 4), \
-                vs[:, :, 0].transpose(1, 0, 2, 3, 4)
-
-        return gather
-
-    def _build_scatter(self):
-        from .paged_kv import scatter_block
-
+        cfg, S = self.model_cfg, self.S
         M = self.samd_cfg.max_predicts
+        D = self.samd_cfg.max_tree_depth
+        K = HARVEST_TOPK
         page = self.page_size
+        interpret = self.interpret
+        accept = make_accept_fn(sig) if sig is not None else None
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def scatter(pool_k, pool_v, kv_k, kv_v, tables, offsets, actives):
-            # write each active slot's draft-block region back to its pages
-            def one(pool, kv, b):
-                blk = jax.lax.dynamic_slice(
-                    kv[:, b][:, None], (0, 0, 0, offsets[b], 0),
-                    (kv.shape[0], 1, kv.shape[2], M, kv.shape[4]))
-                new = scatter_block(pool, tables[b], offsets[b], blk, M)
-                return jnp.where(actives[b], new, pool)
+        def compact_paged(pool, table, offset, idx):
+            """Gather the accepted block slots and rewrite them compacted at
+            [offset, offset+A) within the pages (transposed pool layout)."""
+            tok = offset + jnp.arange(M)
+            pg = table[tok // page]                         # [M]
+            sl = tok % page                                 # [M]
+            blk = pool[pg, :, :, sl]                        # [M, KH, D]
+            selkv = jnp.take(blk, idx, axis=0)              # [M, KH, D]
+            return pool.at[pg, :, :, sl].set(selkv)
 
-            for b in range(tables.shape[0]):
-                pool_k = one(pool_k, kv_k, b)
-                pool_v = one(pool_v, kv_v, b)
-            return pool_k, pool_v
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(params, pool_k, pool_v, cache_lens, drafts, tables,
+                 actives, keys, samp_flags):
+            tokens, tree_mask, depths, paths = jax.vmap(
+                lambda d: unpack_draft(d, D))(drafts)
+            S_logical = tables.shape[1] * page
+            mask = jax.vmap(
+                lambda tm, cl: block_decode_mask(tm, cl, S_logical)[0]
+            )(tree_mask, cache_lens)                        # [B, M, S_l]
+            pos = depths + cache_lens[:, None]
+            logits, _, pool_k, pool_v = paged_forward(
+                params, cfg, tokens, pos, pool_k, pool_v, tables,
+                cache_lens, mask, cache_lens + M, actives,
+                interpret=interpret)
+            g = jax.vmap(greedy_accept)(logits, tokens, paths)
+            if sig is not None:
+                split = jax.vmap(jax.random.split)(keys)
+                subs, new_keys = split[:, 0], split[:, 1]
+                s = jax.vmap(accept)(logits, tokens, paths, subs)
 
-        return scatter
+                def sel(a, b):
+                    f = samp_flags.reshape((-1,) + (1,) * (a.ndim - 1))
+                    return jnp.where(f, a, b)
+
+                accept_len = sel(s.accept_len, g.accept_len)
+                path_nodes = sel(s.path_nodes, g.path_nodes)
+                accepted = sel(s.accepted_tokens, g.accepted_tokens)
+                next_token = sel(s.next_token, g.next_token)
+            else:
+                new_keys = keys
+                accept_len, path_nodes = g.accept_len, g.path_nodes
+                accepted, next_token = g.accepted_tokens, g.next_token
+
+            # compact per layer (vmap over the layer axis), per slot;
+            # inactive slots keep their pages untouched
+            def compact_layerwise(pool):
+                for b in range(tables.shape[0]):
+                    new = jax.vmap(lambda pl: compact_paged(
+                        pl, tables[b], cache_lens[b], path_nodes[b]))(pool)
+                    pool = jnp.where(actives[b], new, pool)
+                return pool
+
+            pool_k = compact_layerwise(pool_k)
+            pool_v = compact_layerwise(pool_v)
+            pack = jnp.concatenate([
+                accept_len[:, None], next_token[:, None],
+                accepted], axis=1).astype(jnp.int32)
+            topk_tok = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+            return pool_k, pool_v, pack, topk_tok, new_keys
+
+        return step
 
     def _tables(self):
         return jnp.stack([r.table() for r in self.page_reqs])
 
+    def _dispatch(self, cache_lens, drafts):
+        M = self.samd_cfg.max_predicts
+        for i, s in enumerate(self.slots):
+            if s.active and s.cache_len + M <= self.S:
+                self.page_reqs[i].ensure(s.cache_len + M)
+        actives = np.asarray(
+            [s.active and s.cache_len + M <= self.S for s in self.slots])
+        sig, keys, flags = self._sampling_inputs()
+        if sig not in self._paged_fns:
+            self._paged_fns[sig] = self._build_paged_step(sig)
+        (self.pool.k, self.pool.v, pack, topk,
+         new_keys) = self._paged_fns[sig](
+            self.params, self.pool.k, self.pool.v, jnp.asarray(cache_lens),
+            jnp.asarray(drafts), self._tables(), jnp.asarray(actives),
+            jnp.asarray(keys), jnp.asarray(flags))
+        if sig is not None:
+            self._store_keys(new_keys)
+        for i, s in enumerate(self.slots):
+            if s.active:
+                self.page_reqs[i].length = s.cache_len
+        return pack, topk
+
+    # -- prefill: dense single-request forward, then scatter into pages ---
+    def _build_scatter_prefill(self, P: int):
+        from .cache import init_kv_cache
+        from .ops.paged_attention import scatter_block_t
+
+        cfg, S, K = self.model_cfg, self.S, HARVEST_TOPK
+        page = self.page_size
+        span_pages = -(-P // page)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, pool_k, pool_v, tokens, true_len, table):
+            fk, fv = init_kv_cache(cfg, 1, P)
+            logits, hidden, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, P))
+            # fk: [L, 1, KH, P, D] -> scatter page-aligned spans
+            def scat(pool, blk):  # blk [L, KH, P, D]
+                def per_layer(pl, bl):
+                    for j in range(span_pages):
+                        pl = scatter_block_t(
+                            pl, table, jnp.int32(j * page),
+                            jax.lax.dynamic_slice_in_dim(bl, j * page, page,
+                                                         axis=1))
+                    return pl
+                return jax.vmap(per_layer)(pool, blk)
+            pool_k = scat(pool_k, fk[:, 0])
+            pool_v = scat(pool_v, fv[:, 0])
+            last_logits = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1, axis=0, keepdims=False)
+            next_token = jnp.argmax(last_logits).astype(jnp.int32)
+            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            return pool_k, pool_v, next_token, topk_tok, last_logits
+
+        return prefill
+
     def _admit(self) -> None:
-        # ensure pages for prompt before the dense-prefill writes are
-        # scattered back
         for slot_idx, slot in enumerate(self.slots):
             if slot.active or not self.queue:
                 continue
             rid, input_ids, gen = self.queue.pop(0)
             P = _bucket(len(input_ids), self.prefill_buckets)
-            if P not in self._prefill_fns:
-                self._prefill_fns[P] = self._build_prefill(P)
+            if P not in self._scatter_prefill_fns:
+                self._scatter_prefill_fns[P] = self._build_scatter_prefill(P)
             padded = np.zeros(P, np.int32)
             padded[:len(input_ids)] = input_ids
             req = self.page_reqs[slot_idx]
             req.release()
-            req.ensure(min(len(input_ids) + self.samd_cfg.max_predicts,
-                           self.S))
-            tables = self._tables()
-            kv_k, kv_v = self._gather_fn(self.pool.k, self.pool.v, tables)
-            kv_k, kv_v, next_token, topk, last_logits = self._prefill_fns[P](
-                self.params, kv_k, kv_v, jnp.asarray(padded),
-                jnp.int32(len(input_ids)), jnp.int32(slot_idx))
+            req.ensure(min(-(-P // self.page_size) * self.page_size, self.S))
+            (self.pool.k, self.pool.v, next_token, topk,
+             last_logits) = self._scatter_prefill_fns[P](
+                self.params, self.pool.k, self.pool.v, jnp.asarray(padded),
+                jnp.int32(len(input_ids)),
+                req.table()[:-(-P // self.page_size)])
+            req.length = len(input_ids)
             sig = key = None
             if not gen.greedy:
                 sig = gen.sampling_signature
@@ -445,22 +559,6 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
                     next_token = jax.random.categorical(
                         sub, last_logits / gen.temperature)
                 key = np.asarray(k)
-            # scatter the whole prefilled slot back (page-aligned region)
-            from .paged_kv import scatter_block
-
-            span = -(-P // self.page_size) * self.page_size
-            blk_k = jax.lax.dynamic_slice(
-                kv_k[:, slot_idx][:, None], (0, 0, 0, 0, 0),
-                (kv_k.shape[0], 1, kv_k.shape[2], span, kv_k.shape[4]))
-            blk_v = jax.lax.dynamic_slice(
-                kv_v[:, slot_idx][:, None], (0, 0, 0, 0, 0),
-                (kv_v.shape[0], 1, kv_v.shape[2], span, kv_v.shape[4]))
-            self.pool.k = scatter_block(self.pool.k, req.table(),
-                                        jnp.int32(0), blk_k, span)
-            self.pool.v = scatter_block(self.pool.v, req.table(),
-                                        jnp.int32(0), blk_v, span)
-            req.length = len(input_ids)
-
             drafter = self.drafter_factory()
             drafter.reset()
             wants_harvest = getattr(drafter, "wants_harvest", False)
@@ -476,26 +574,3 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
     def _finish(self, slot_idx: int) -> None:
         self.page_reqs[slot_idx].release()
         super()._finish(slot_idx)
-
-    def _step(self) -> None:
-        M = self.samd_cfg.max_predicts
-        # grow page tables to cover the upcoming block
-        for i, s in enumerate(self.slots):
-            if s.active and s.cache_len + M <= self.S:
-                self.page_reqs[i].ensure(s.cache_len + M)
-        tables = self._tables()
-        kv_k, kv_v = self._gather_fn(self.pool.k, self.pool.v, tables)
-        self.kv_k, self.kv_v = kv_k, kv_v
-        cache_lens = np.asarray([s.cache_len for s in self.slots], np.int32)
-        actives = np.asarray(
-            [s.active and s.cache_len + M <= self.S for s in self.slots])
-        super()._step()
-        # write the block regions back to pages; the dense view is dropped
-        if self.kv_k is not None:
-            self.pool.k, self.pool.v = self._scatter_fn(
-                self.pool.k, self.pool.v, self.kv_k, self.kv_v, tables,
-                jnp.asarray(cache_lens), jnp.asarray(actives))
-            self.kv_k = self.kv_v = None
-        for i, s in enumerate(self.slots):
-            if s.active:
-                self.page_reqs[i].length = s.cache_len

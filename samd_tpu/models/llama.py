@@ -190,7 +190,10 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         k_cache = write_kv(k_cache, k.transpose(0, 2, 1, 3))
         v_cache = write_kv(v_cache, v.transpose(0, 2, 1, 3))
         if cfg.attention_impl in ("flash", "flash_interpret") and B == 1 \
-                and write_offset.ndim == 0:
+                and write_offset.ndim == 0 and T <= 128:
+            # the flash kernel targets small decode/verify blocks; wide
+            # prefill blocks (T ≫ M) would blow VMEM (G·T query rows) and
+            # XLA's fused attention is already fine there
             from ..ops.pallas_attention import flash_block_attention
 
             ctx = flash_block_attention(

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: paged flash attention for draft-block verification.
+
+`paged_kv.PagedKVPool` v1 gathered every request's live pages into a dense
+view before each decode step — a full read+write of the live KV per step.
+This kernel consumes the page pool *directly*: the page table is a
+scalar-prefetch argument, and the kernel DMA-streams exactly the live pages
+(``cdiv(kv_limit, page_size)``) per (slot, kv-head), accumulating with the
+online (flash) softmax.  No dense copy ever exists.
+
+Pool layout: ``[n_pages, KH, D, page_size]`` per layer ("dp" transposed
+layout — the page axis is the sliced axis and the lane dim page_size is
+block-aligned, mirroring ops/pallas_attention.py's [D, S] choice).
+
+Logical columns: page j of a request covers logical columns
+[j*page, (j+1)*page); the caller's [T, S_logical] mask (from
+block_decode_mask over the contiguous view) is sliced per page — the
+logical→physical remap touches only WHICH page is DMA'd, never the mask.
+
+Reference context: this replaces the rollback/copy traffic of the
+reference's cache (/root/reference/samd/cache.py:117-133) and the v1
+gather (samd_tpu/paged_kv.py), the step this whole path is meant to beat.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
+                  mask_hbm, out_ref, *, page: int, scale: float, T: int):
+    """One (slot, kv-head).  q_ref/out_ref: [1, 1, R, D] VMEM; k/v_pool:
+    [n_pages, KH, D, page] HBM; mask_hbm: [B, Tp, S_logical] HBM int8;
+    kv_limits_ref: [B] SMEM; tables_ref: [B, P] SMEM."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    _, _, R, D = q_ref.shape
+    kv_limit = kv_limits_ref[b]
+    num_pages = pl.cdiv(kv_limit, page)
+
+    def body(k_buf, v_buf, m_buf, sem_k, sem_v, sem_m, acc, m_i, l_i):
+        q = q_ref[0, 0].astype(jnp.float32)                # [R, D]
+
+        def get_copies(j, slot):
+            # clamp: released slots carry -1 page ids; their rows are
+            # discarded by the host, but the DMA address must stay valid
+            p = jnp.maximum(tables_ref[b, j], 0)
+            off = pl.multiple_of(j * page, page)
+            return (
+                pltpu.make_async_copy(k_pool.at[p, h],
+                                      k_buf.at[slot], sem_k.at[slot]),
+                pltpu.make_async_copy(v_pool.at[p, h],
+                                      v_buf.at[slot], sem_v.at[slot]),
+                pltpu.make_async_copy(mask_hbm.at[b, :, pl.ds(off, page)],
+                                      m_buf.at[slot], sem_m.at[slot]),
+            )
+
+        for c in get_copies(0, 0):
+            c.start()
+
+        acc[:] = jnp.zeros_like(acc)
+        m_i[:] = jnp.full_like(m_i, NEG_INF)
+        l_i[:] = jnp.zeros_like(l_i)
+
+        def loop(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < num_pages)
+            def _():
+                for c in get_copies(j + 1, (j + 1) % 2):
+                    c.start()
+
+            for c in get_copies(j, slot):
+                c.wait()
+
+            kT = k_buf[slot].astype(jnp.float32)           # [D, page]
+            vT = v_buf[slot].astype(jnp.float32)
+            G = R // T
+            mask_t = m_buf[slot][:T, :] != 0               # [T, page]
+            mask_r = jnp.broadcast_to(mask_t[None], (G, T, page)
+                                      ).reshape(R, page)
+            s = jax.lax.dot_general(
+                q, kT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [R, page]
+            s = jnp.where(mask_r, s, NEG_INF)
+            m_new = jnp.maximum(m_i[:], jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_i[:] - m_new)
+            l_i[:] = l_i[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc[:] = acc[:] * alpha + jax.lax.dot_general(
+                p, vT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_i[:] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, num_pages, loop, 0)
+        out_ref[0, 0] = (acc[:] / jnp.maximum(l_i[:], 1e-30)
+                         ).astype(out_ref.dtype)
+
+    D = q_ref.shape[-1]
+    Tp = mask_hbm.shape[1]
+    R = q_ref.shape[2]
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((2, D, page), k_pool.dtype),
+        v_buf=pltpu.VMEM((2, D, page), v_pool.dtype),
+        m_buf=pltpu.VMEM((2, Tp, page), jnp.int8),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
+        sem_m=pltpu.SemaphoreType.DMA((2,)),
+        acc=pltpu.VMEM((R, D), jnp.float32),
+        m_i=pltpu.VMEM((R, 1), jnp.float32),
+        l_i=pltpu.VMEM((R, 1), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                          tables: jax.Array, mask: jax.Array,
+                          kv_limits: jax.Array, *,
+                          interpret: bool = False) -> jax.Array:
+    """Batched paged attention over one layer's page pool.
+
+    q:         [B, T, NH, D]
+    k/v_pool:  [n_pages, KH, D, page] (one layer, transposed page layout)
+    tables:    [B, P] int32 page ids (-1 padded beyond the live pages)
+    mask:      [B, T, S_logical] bool, S_logical = P * page
+    kv_limits: [B] int32 — attend to logical columns < kv_limits[b]
+    Returns [B, T, NH*D]."""
+    B, T, NH, D = q.shape
+    _, KH, _, page = k_pool.shape
+    G = NH // KH
+    R = G * T
+    # [B, KH, R, D] query rows (row r = g*T + t)
+    qh = q.transpose(0, 2, 1, 3).reshape(B, KH, G, T, D).reshape(B, KH, R, D)
+    Tp = _round_up(T, 32)
+    S_logical = mask.shape[-1]
+    mask8 = jnp.zeros((B, Tp, S_logical), jnp.int8)
+    mask8 = mask8.at[:, :T].set(mask.astype(jnp.int8))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # kv_limits, tables
+        grid=(B, KH),
+        in_specs=[
+            pl.BlockSpec((1, 1, R, D), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, R, D), lambda b, h, *_: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref, mask_ref,
+               out_ref):
+        _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref,
+                      mask_ref, out_ref, page=page, scale=D ** -0.5, T=T)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, R, D), q.dtype),
+        interpret=interpret,
+    )(kv_limits.astype(jnp.int32), tables.astype(jnp.int32),
+      qh, k_pool, v_pool, mask8)
+    # [B, KH, G, T, D] -> [B, T, NH*D]
+    return out.reshape(B, KH, G, T, D).transpose(0, 3, 1, 2, 4).reshape(
+        B, T, NH * D)
+
+
+def scatter_block_t(pool: jax.Array, table: jax.Array, offset: jax.Array,
+                    block: jax.Array) -> jax.Array:
+    """Write ``block`` [KH, T, D] at logical position ``offset`` into one
+    layer's transposed page pool [n_pages, KH, D, page] (per-token scatter;
+    T is the small draft block)."""
+    page = pool.shape[3]
+    T = block.shape[1]
+    tok_pos = offset + jnp.arange(T)
+    page_idx = table[tok_pos // page]                     # [T]
+    in_page = tok_pos % page                              # [T]
+    # pool[page_idx[t], :, :, in_page[t]] = block[:, t, :].T
+    blk = block.transpose(1, 0, 2)                        # [T, KH, D]
+    return pool.at[page_idx, :, :, in_page].set(blk)

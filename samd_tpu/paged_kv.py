@@ -32,10 +32,18 @@ from .models.configs import ModelConfig
 
 class PagedKVPool:
     def __init__(self, cfg: ModelConfig, *, n_pages: int, page_size: int,
-                 dtype=None):
+                 dtype=None, layout: str = "sd"):
+        """layout "sd": [L, n_pages, KH, page, D] (gather-based v1 path);
+        layout "dp": [L, n_pages, KH, D, page] — the paged flash kernel's
+        native transposed layout (ops/paged_attention.py)."""
         dtype = dtype or cfg.dtype
-        shape = (cfg.num_layers, n_pages, cfg.num_kv_heads, page_size,
-                 cfg.head_dim)
+        if layout == "dp":
+            shape = (cfg.num_layers, n_pages, cfg.num_kv_heads,
+                     cfg.head_dim, page_size)
+        else:
+            shape = (cfg.num_layers, n_pages, cfg.num_kv_heads, page_size,
+                     cfg.head_dim)
+        self.layout = layout
         self.k = jnp.zeros(shape, dtype)
         self.v = jnp.zeros(shape, dtype)
         self.page_size = page_size
@@ -86,6 +94,61 @@ def scatter_block(pool: jax.Array, page_table: jax.Array, offset: jax.Array,
     blk = block[:, 0].transpose(0, 2, 1, 3)                # [L, T, KH, D]
     return pool.at[:, page_idx, :, in_page, :].set(
         blk.transpose(1, 0, 2, 3))
+
+
+def paged_forward(params, cfg: ModelConfig, tokens, position_ids,
+                  pool_k, pool_v, tables, write_offsets, attn_mask,
+                  kv_limits, actives, *, interpret: bool = False):
+    """Batched decode forward consuming the transposed ("dp") page pool
+    directly — no dense gather ever exists (the v1 per-step copy this
+    replaces is gather_request + scatter_block).
+
+    tokens/position_ids: [B, T]; pool_k/v: [L, n_pages, KH, D, page];
+    tables: [B, P]; write_offsets/kv_limits: [B]; attn_mask:
+    [B, T, P*page] bool over logical columns; actives: [B] bool (inactive
+    slots skip their page writes).
+    Returns (logits, hidden, pool_k, pool_v)."""
+    from .models.llama import apply_rope, rms_norm, rope_tables
+    from .ops.paged_attention import paged_block_attention, scatter_block_t
+
+    B, T = tokens.shape
+    NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = params["embed"][tokens]
+    cos, sin = rope_tables(position_ids, D, cfg.rope_theta)
+
+    def layer_step(carry, xs):
+        h = carry
+        lp, pk, pv = xs                     # pk/pv: [n_pages, KH, D, page]
+        x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = (x @ lp["wq"]).reshape(B, T, NH, D)
+        k = (x @ lp["wk"]).reshape(B, T, KH, D)
+        v = (x @ lp["wv"]).reshape(B, T, KH, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        for b in range(B):
+            nk = scatter_block_t(pk, tables[b], write_offsets[b],
+                                 k[b].transpose(1, 0, 2))
+            nv = scatter_block_t(pv, tables[b], write_offsets[b],
+                                 v[b].transpose(1, 0, 2))
+            pk = jnp.where(actives[b], nk, pk)
+            pv = jnp.where(actives[b], nv, pv)
+        ctx = paged_block_attention(q, pk, pv, tables, attn_mask, kv_limits,
+                                    interpret=interpret)
+        h = h + ctx @ lp["wo"]
+        x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
+        gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
+        h = h + gated @ lp["w_down"]
+        return h, (pk, pv)
+
+    h, (pool_k, pool_v) = jax.lax.scan(layer_step, h,
+                                       (params["layers"], pool_k, pool_v))
+    from .models.llama import rms_norm as _rn
+
+    h = _rn(h, params["final_norm"], cfg.rms_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+    return logits, h, pool_k, pool_v
 
 
 class PagedRequest:

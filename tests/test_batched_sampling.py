@@ -67,8 +67,21 @@ def _batched_fused(model):
         prefill_buckets=(32,))
 
 
-@pytest.mark.parametrize("make_engine", [_batched_host, _batched_fused],
-                         ids=["host", "fused"])
+def _batched_paged(model):
+    from samd_tpu.batching import PagedBatchedSamdEngine
+
+    cfg, params = model
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=M)
+    return PagedBatchedSamdEngine(
+        cfg, params, samd_cfg,
+        lambda: make_drafter(samd_cfg, cfg.vocab_size),
+        batch_size=4, max_cache_len=MAX_CACHE, eos_token_id=-1,
+        prefill_buckets=(32,), n_pages=80, page_size=16)
+
+
+@pytest.mark.parametrize("make_engine",
+                         [_batched_host, _batched_fused, _batched_paged],
+                         ids=["host", "fused", "paged"])
 def test_mixed_batch_greedy_slots_lossless(model, prompts, oracle_outs,
                                            make_engine):
     eng = make_engine(model)
