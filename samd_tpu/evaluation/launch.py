@@ -49,7 +49,11 @@ def build_engine(args):
         return ArBaseline(cfg, params, max_cache_len=args.max_cache_len,
                           eos_token_id=args.eos_token_id,
                           prefill_buckets=buckets)
-    samd_cfg = SamdConfig(draft_source=args.engine)
+    samd_cfg = SamdConfig(
+        draft_source=args.engine, max_predicts=args.max_predicts,
+        alpha=args.alpha, len_bias=args.len_bias,
+        n_predicts=args.n_predicts, len_threshold=args.len_threshold,
+        tree_method=args.tree_method)
     static_sam = None
     if args.sam:
         from ..sam.serialize import load_sam
@@ -104,6 +108,14 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--model-dir", default=None)
     p.add_argument("--sam", default=None, help="static corpus SAM (.npz)")
     p.add_argument("--vocab-size", type=int, default=256)
+    # canonical policy knobs (reference scripts/inference_samd*.sh)
+    p.add_argument("--max-predicts", type=int, default=60)
+    p.add_argument("--alpha", type=float, default=4.0)
+    p.add_argument("--len-bias", type=int, default=5)
+    p.add_argument("--n-predicts", type=int, default=40)
+    p.add_argument("--len-threshold", type=int, default=5)
+    p.add_argument("--tree-method", default="token_recycle",
+                   choices=["token_recycle", "eagle", "eagle2"])
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--max-cache-len", type=int, default=512)
     p.add_argument("--eos-token-id", type=int, default=-1)
