@@ -31,7 +31,12 @@ def build_engine(args):
         static_sam = load_sam(args.sam, topk=8)
 
     if args.random_model:
-        cfg = llama_1b()
+        if args.tiny:
+            from .models import tiny_config
+
+            cfg = tiny_config(vocab_size=256)
+        else:
+            cfg = llama_1b()
         params = init_params(cfg, jax.random.PRNGKey(0))
         tokenizer = None
         eos = -1
@@ -62,6 +67,32 @@ def build_engine(args):
         engine = FusedTokenRecycleEngine(cfg, params,
                                          max_cache_len=args.max_cache_len,
                                          eos_token_id=eos)
+    elif args.engine == "fused_hybrid":
+        from .fused_hybrid import FusedHybridConfig, FusedHybridEngine
+
+        corpus = static_sam.text if static_sam is not None else None
+        engine = FusedHybridEngine(cfg, params, FusedHybridConfig(),
+                                   corpus=corpus,
+                                   max_cache_len=args.max_cache_len,
+                                   eos_token_id=eos)
+    elif args.engine == "fused_sam_eagle2":
+        from .fused_hybrid import (
+            FusedHybridEagleConfig,
+            FusedHybridEagleEngine,
+        )
+
+        corpus = static_sam.text if static_sam is not None else None
+        engine = FusedHybridEagleEngine(cfg, params,
+                                        FusedHybridEagleConfig(),
+                                        corpus=corpus,
+                                        max_cache_len=args.max_cache_len,
+                                        eos_token_id=eos)
+    elif args.engine == "eagle2":
+        from .eagle_fused import FusedEagle2Engine
+
+        engine = FusedEagle2Engine(cfg, params,
+                                   max_cache_len=args.max_cache_len,
+                                   eos_token_id=eos)
     else:
         samd_cfg = SamdConfig(draft_source=args.mode)
         engine = SamdEngine(
@@ -78,12 +109,23 @@ def main():
     p.add_argument("--mode", default="sam_only",
                    choices=["sam_only", "sam_hybrid"])
     p.add_argument("--engine", default="samd",
-                   choices=["samd", "fused_sam", "pld", "token_recycle"],
-                   help="samd = host SAM automata; fused_* = device loops")
+                   choices=["samd", "fused_sam", "pld", "token_recycle",
+                            "fused_hybrid", "fused_sam_eagle2", "eagle2"],
+                   help="samd = host SAM automata; fused_* = device loops; "
+                        "fused_hybrid = SAM[Token Recycle]; "
+                        "fused_sam_eagle2 = SAM[EAGLE-2]")
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--max-cache-len", type=int, default=2048)
     p.add_argument("--random-model", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="with --random-model: tiny config (CPU smoke tests)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (never grabs the TPU)")
     args = p.parse_args()
+    if args.cpu:
+        from .testing import force_cpu
+
+        force_cpu()
     if not args.random_model and not args.model:
         p.error("--model required (or --random-model for smoke testing)")
 
