@@ -203,6 +203,39 @@ def main():
     log(f"batched samd (B=4): {btok} tokens in {bdt:.2f}s = {btok/bdt:.1f} tok/s")
     detail["batched_samd_tokens_per_s"] = round(btok / bdt, 2)
 
+    # --- paged serving at B=4 (page-table-consuming attention kernel) -----
+    try:
+        from samd_tpu.batching import PagedBatchedSamdEngine
+
+        paged = PagedBatchedSamdEngine(
+            cfg, params, samd_cfg,
+            lambda: make_drafter(samd_cfg, cfg.vocab_size,
+                                 static_sam=SamCursor(static_sam)),
+            batch_size=4, max_cache_len=MAX_CACHE, eos_token_id=-1,
+            prefill_buckets=(128,), n_pages=48, page_size=128,
+            interpret=False)
+        paged.add_request(prompts[0][:64],
+                          GenerationConfig(max_new_tokens=4,
+                                           max_cache_len=MAX_CACHE))
+        paged.run()  # warmup/compile
+        t0 = time.perf_counter()
+        for p in all_prompts * 2:
+            paged.add_request(p, gen)
+        pres = paged.run()
+        pdt = time.perf_counter() - t0
+        ptok = sum(r.decode_tokens for r in pres.values())
+        log(f"paged batched samd (B=4): {ptok} tokens in {pdt:.2f}s = "
+            f"{ptok/pdt:.1f} tok/s (pool {paged.pool.n_pages}x"
+            f"{paged.page_size} = {paged.pool.n_pages * paged.page_size} "
+            f"KV slots vs dense {4 * MAX_CACHE})")
+        detail["paged_batched_samd_tokens_per_s"] = round(ptok / pdt, 2)
+        detail["paged_vs_dense_batched_ratio"] = round(
+            (ptok / pdt) / (btok / bdt), 3)
+        detail["paged_kv_slots_vs_dense"] = \
+            f"{paged.pool.n_pages * paged.page_size}/{4 * MAX_CACHE}"
+    except Exception:
+        log("paged batched section FAILED:\n" + traceback.format_exc())
+
     # --- device-resident fused PLD (zero per-step host traffic) -----------
     from samd_tpu.pld import PldConfig, PldEngine
 
@@ -319,6 +352,46 @@ def main():
     detail["batched_fused_sam_tokens_per_s"] = round(bfs_tps, 2)
     detail["batched_fused_sam_speedup"] = round(bfs_tps / ar_tps, 4)
     detail["batch_size"] = 4
+
+    # --- corpus-scale retrieval: 1M-token corpus through the n-gram index --
+    # (reference corpora are millions of tokens, tools/gen_sam_alpaca.py;
+    #  the windowed O(corpus) scan is hopeless there — the index probes
+    #  O(grams x bucket_cap) positions per step regardless of size)
+    try:
+        corpus_rng = np.random.default_rng(7)
+        big = corpus_rng.integers(3, cfg.vocab_size,
+                                  size=1 << 20).astype(np.int32)
+        emb_at = 700_000
+        doc = np.asarray(fs_corpus[:min(len(fs_corpus),
+                                        (1 << 20) - emb_at)], np.int32)
+        big[emb_at:emb_at + len(doc)] = doc
+        fs1m = FusedSamEngine(
+            cfg, params,
+            FusedSamConfig(steps_per_call=16, corpus_capacity=1 << 20,
+                           indexed=True, index_bucket_cap=8),
+            corpus=big.tolist(), max_cache_len=MAX_CACHE, eos_token_id=-1,
+            prefill_buckets=(128,))
+        fs1m.generate(prompts[0][:64],
+                      GenerationConfig(max_new_tokens=4,
+                                       max_cache_len=MAX_CACHE))
+        m_outs, m_tok, m_steps, m_dt = timed_generate(fs1m, all_prompts, gen)
+        m_tps = m_tok / m_dt
+        m_ms = 1000 * m_dt / max(m_steps, 1)
+        m_equal = sum(int(a == b) for a, b in zip(fs_oracle, m_outs[:2]))
+        log(f"fused-sam 1M-token corpus (indexed): {m_tps:.1f} tok/s, "
+            f"accept {m_tok/max(m_steps,1):.2f}, {m_ms:.2f} ms/step, "
+            f"overlap trajectory equal {m_equal}/2")
+        detail.update({
+            "fused_sam_1m_corpus_tokens_per_s": round(m_tps, 2),
+            "fused_sam_1m_corpus_mean_accept":
+                round(m_tok / max(m_steps, 1), 3),
+            "fused_sam_1m_corpus_ms_per_step": round(m_ms, 3),
+            "fused_sam_1m_corpus_step_time_ratio_vs_32k":
+                round(m_ms / fs_ms, 3),
+            "fused_sam_1m_corpus_overlap_equal": m_equal == 2,
+        })
+    except Exception:
+        log("1M-corpus section FAILED:\n" + traceback.format_exc())
 
     # --- device-resident fused Token-Recycle ------------------------------
     from samd_tpu.token_recycle_fused import (

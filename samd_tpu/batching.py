@@ -85,6 +85,10 @@ class BatchedSamdEngine:
         self.queue: List[tuple] = []
         self.results: Dict[int, Outputs] = {}
         self._next_id = 0
+        # harvest top-k only when the factory's drafters consume it —
+        # lax.top_k over [B, M, V] costs real milliseconds per step on TPU
+        self._wants_harvest = getattr(drafter_factory(), "wants_harvest",
+                                      False)
         self._decode_fn = self._build_decode_step()
         self._sampling_fns: Dict[tuple, callable] = {}
         self._prefill_fns: Dict[int, callable] = {}
@@ -96,6 +100,7 @@ class BatchedSamdEngine:
         M = self.samd_cfg.max_predicts
         D = self.samd_cfg.max_tree_depth
         K = HARVEST_TOPK
+        wants_harvest = self._wants_harvest
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def step(params, kv_k, kv_v, cache_lens, drafts):
@@ -127,7 +132,8 @@ class BatchedSamdEngine:
             pack = jnp.concatenate([
                 res.accept_len[:, None], res.next_token[:, None],
                 res.accepted_tokens], axis=1).astype(jnp.int32)  # [B, D+2]
-            topk_tok = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+            topk_tok = (jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             return kv_k, kv_v, pack, topk_tok
 
         return step
@@ -143,6 +149,7 @@ class BatchedSamdEngine:
         M = self.samd_cfg.max_predicts
         D = self.samd_cfg.max_tree_depth
         K = HARVEST_TOPK
+        wants_harvest = self._wants_harvest
         accept = make_accept_fn(sig)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
@@ -186,13 +193,15 @@ class BatchedSamdEngine:
             pack = jnp.concatenate([
                 accept_len[:, None], next_token[:, None],
                 accepted], axis=1).astype(jnp.int32)
-            topk_tok = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+            topk_tok = (jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             return kv_k, kv_v, pack, topk_tok, new_keys
 
         return step
 
     def _build_prefill(self, P: int):
         cfg, S, K = self.model_cfg, self.S, HARVEST_TOPK
+        wants_harvest = self._wants_harvest
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def prefill(params, kv_k, kv_v, tokens, true_len, slot):
@@ -207,7 +216,8 @@ class BatchedSamdEngine:
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             next_token = jnp.argmax(last_logits).astype(jnp.int32)
-            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            topk_tok = (jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             return kv_k, kv_v, next_token, topk_tok, last_logits
 
         return prefill
@@ -335,7 +345,8 @@ class BatchedSamdEngine:
                     eos_hit = True
                     break
             s.drafter.observe_accepted(accepted)
-            if getattr(s.drafter, "wants_harvest", False):
+            if self._wants_harvest and getattr(s.drafter, "wants_harvest",
+                                               False):
                 if topk_np is None:
                     topk_np = np.asarray(topk)
                 s.drafter.observe_verify(drafts[i, 0], topk_np[i],
@@ -405,15 +416,20 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
         M = self.samd_cfg.max_predicts
         D = self.samd_cfg.max_tree_depth
         K = HARVEST_TOPK
+        wants_harvest = self._wants_harvest
         page = self.page_size
         interpret = self.interpret
         accept = make_accept_fn(sig) if sig is not None else None
 
+        scratch = self.pool.scratch_page
+
         def compact_paged(pool, table, offset, idx):
             """Gather the accepted block slots and rewrite them compacted at
-            [offset, offset+A) within the pages (transposed pool layout)."""
+            [offset, offset+A) within the pages (transposed pool layout).
+            Released slots' -1 table entries route to the scratch page."""
             tok = offset + jnp.arange(M)
             pg = table[tok // page]                         # [M]
+            pg = jnp.where(pg < 0, scratch, pg)
             sl = tok % page                                 # [M]
             blk = pool[pg, :, :, sl]                        # [M, KH, D]
             selkv = jnp.take(blk, idx, axis=0)              # [M, KH, D]
@@ -431,7 +447,7 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
             pos = depths + cache_lens[:, None]
             logits, _, pool_k, pool_v = paged_forward(
                 params, cfg, tokens, pos, pool_k, pool_v, tables,
-                cache_lens, mask, cache_lens + M, actives,
+                cache_lens, mask, cache_lens + M, scratch,
                 interpret=interpret)
             g = jax.vmap(greedy_accept)(logits, tokens, paths)
             if sig is not None:
@@ -453,12 +469,11 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
                 accepted, next_token = g.accepted_tokens, g.next_token
 
             # compact per layer (vmap over the layer axis), per slot;
-            # inactive slots keep their pages untouched
+            # released slots' compaction lands on the scratch page
             def compact_layerwise(pool):
                 for b in range(tables.shape[0]):
-                    new = jax.vmap(lambda pl: compact_paged(
+                    pool = jax.vmap(lambda pl: compact_paged(
                         pl, tables[b], cache_lens[b], path_nodes[b]))(pool)
-                    pool = jnp.where(actives[b], new, pool)
                 return pool
 
             pool_k = compact_layerwise(pool_k)
@@ -466,7 +481,8 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
             pack = jnp.concatenate([
                 accept_len[:, None], next_token[:, None],
                 accepted], axis=1).astype(jnp.int32)
-            topk_tok = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+            topk_tok = (jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             return pool_k, pool_v, pack, topk_tok, new_keys
 
         return step
@@ -502,6 +518,7 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
         from .ops.paged_attention import scatter_block_t
 
         cfg, S, K = self.model_cfg, self.S, HARVEST_TOPK
+        wants_harvest = self._wants_harvest
         page = self.page_size
         span_pages = -(-P // page)
 
@@ -511,22 +528,19 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
             logits, hidden, fk, fv = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
                 jnp.int32(0), prefill_mask(1, P, P))
-            # fk: [L, 1, KH, P, D] -> scatter page-aligned spans
+            # fk: [L, 1, KH, P, D] -> per-token scatter of the whole block
+            # (scatter_block_t handles any T, incl. page_size > P)
             def scat(pool, blk):  # blk [L, KH, P, D]
-                def per_layer(pl, bl):
-                    for j in range(span_pages):
-                        pl = scatter_block_t(
-                            pl, table, jnp.int32(j * page),
-                            jax.lax.dynamic_slice_in_dim(bl, j * page, page,
-                                                         axis=1))
-                    return pl
-                return jax.vmap(per_layer)(pool, blk)
+                return jax.vmap(
+                    lambda pl, bl: scatter_block_t(pl, table, jnp.int32(0),
+                                                   bl))(pool, blk)
             pool_k = scat(pool_k, fk[:, 0])
             pool_v = scat(pool_v, fv[:, 0])
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             next_token = jnp.argmax(last_logits).astype(jnp.int32)
-            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            topk_tok = (jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             return pool_k, pool_v, next_token, topk_tok, last_logits
 
         return prefill

@@ -180,14 +180,21 @@ def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
 
 def scatter_block_t(pool: jax.Array, table: jax.Array, offset: jax.Array,
-                    block: jax.Array) -> jax.Array:
+                    block: jax.Array, *,
+                    scratch_page: int = -1) -> jax.Array:
     """Write ``block`` [KH, T, D] at logical position ``offset`` into one
     layer's transposed page pool [n_pages, KH, D, page] (per-token scatter;
-    T is the small draft block)."""
+    T is the small draft block).
+
+    ``scratch_page`` >= 0 remaps -1 table entries there — released/inactive
+    slots scribble on a reserved page instead of needing a full-pool
+    select (jnp.where over the pool costs ~a weight-read per slot)."""
     page = pool.shape[3]
     T = block.shape[1]
     tok_pos = offset + jnp.arange(T)
     page_idx = table[tok_pos // page]                     # [T]
+    if scratch_page >= 0:
+        page_idx = jnp.where(page_idx < 0, scratch_page, page_idx)
     in_page = tok_pos % page                              # [T]
     # pool[page_idx[t], :, :, in_page[t]] = block[:, t, :].T
     blk = block.transpose(1, 0, 2)                        # [T, KH, D]

@@ -43,14 +43,25 @@ class QuantizedTensor:
         return self.q.shape
 
 
-def quantize_weight(w: jax.Array, *, axis: int = -2) -> QuantizedTensor:
-    """Symmetric per-channel int8 quantization; `axis` is the contraction
-    (input-feature) axis reduced when computing scales."""
+def quantize_weight(w: jax.Array, *, axis: int = -2,
+                    dtype=jnp.int8) -> QuantizedTensor:
+    """Symmetric per-channel quantization; `axis` is the contraction
+    (input-feature) axis reduced when computing scales.
+
+    dtype: ``jnp.int8`` (default) or an fp8 dtype (``jnp.float8_e4m3fn`` /
+    ``jnp.float8_e5m2``) — fp8 keeps more dynamic range per channel at the
+    same 1 byte/weight."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    scale = amax / 127.0
-    q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -127, 127
-                 ).astype(jnp.int8)
+    if dtype == jnp.int8:
+        scale = amax / 127.0
+        q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -127, 127
+                     ).astype(jnp.int8)
+    else:
+        fp8_max = float(jnp.finfo(dtype).max)
+        scale = amax / fp8_max
+        q = jnp.clip(wf / jnp.maximum(scale, 1e-12), -fp8_max, fp8_max
+                     ).astype(dtype)
     return QuantizedTensor(q=q, scale=jnp.squeeze(scale, axis=axis))
 
 
@@ -63,17 +74,19 @@ def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
     return x @ w
 
 
-def quantize_llama_params(params: dict) -> dict:
+def quantize_llama_params(params: dict, *, dtype=jnp.int8) -> dict:
     """Quantize the large projection matrices of a samd_tpu Llama param
     pytree (embed and norms stay high precision).  Works on scan-stacked
-    layers: weights are [L, in, out], scales become [L, out]."""
+    layers: weights are [L, in, out], scales become [L, out].
+    ``dtype=jnp.float8_e4m3fn`` selects fp8 weight-only."""
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        layers[name] = quantize_weight(layers[name], axis=-2)
+        layers[name] = quantize_weight(layers[name], axis=-2, dtype=dtype)
     out["layers"] = layers
     if "lm_head" in params:
-        out["lm_head"] = quantize_weight(params["lm_head"], axis=-2)
+        out["lm_head"] = quantize_weight(params["lm_head"], axis=-2,
+                                         dtype=dtype)
     return out
 
 

@@ -38,11 +38,16 @@ class PagedKVPool:
         native transposed layout (ops/paged_attention.py)."""
         dtype = dtype or cfg.dtype
         if layout == "dp":
-            shape = (cfg.num_layers, n_pages, cfg.num_kv_heads,
+            # +1 physical page: a reserved scratch page absorbing writes of
+            # released/inactive slots so the paged step never needs a
+            # full-pool select
+            shape = (cfg.num_layers, n_pages + 1, cfg.num_kv_heads,
                      cfg.head_dim, page_size)
+            self.scratch_page = n_pages
         else:
             shape = (cfg.num_layers, n_pages, cfg.num_kv_heads, page_size,
                      cfg.head_dim)
+            self.scratch_page = -1
         self.layout = layout
         self.k = jnp.zeros(shape, dtype)
         self.v = jnp.zeros(shape, dtype)
@@ -98,15 +103,17 @@ def scatter_block(pool: jax.Array, page_table: jax.Array, offset: jax.Array,
 
 def paged_forward(params, cfg: ModelConfig, tokens, position_ids,
                   pool_k, pool_v, tables, write_offsets, attn_mask,
-                  kv_limits, actives, *, interpret: bool = False):
+                  kv_limits, scratch_page: int, *,
+                  interpret: bool = False):
     """Batched decode forward consuming the transposed ("dp") page pool
     directly — no dense gather ever exists (the v1 per-step copy this
     replaces is gather_request + scatter_block).
 
     tokens/position_ids: [B, T]; pool_k/v: [L, n_pages, KH, D, page];
     tables: [B, P]; write_offsets/kv_limits: [B]; attn_mask:
-    [B, T, P*page] bool over logical columns; actives: [B] bool (inactive
-    slots skip their page writes).
+    [B, T, P*page] bool over logical columns; scratch_page: reserved page
+    index absorbing writes of released/inactive slots (-1 table entries) —
+    cheaper than a full-pool select per slot.
     Returns (logits, hidden, pool_k, pool_v)."""
     from .models.llama import apply_rope, rms_norm, rope_tables
     from .ops.paged_attention import paged_block_attention, scatter_block_t
@@ -116,6 +123,17 @@ def paged_forward(params, cfg: ModelConfig, tokens, position_ids,
 
     h = params["embed"][tokens]
     cos, sin = rope_tables(position_ids, D, cfg.rope_theta)
+    # one fused scatter for all slots: flatten (slot, token) -> (page, slot)
+    flat_pages = []
+    flat_slots = []
+    for b in range(B):
+        tok_pos = write_offsets[b] + jnp.arange(T)
+        pg = tables[b][tok_pos // pool_k.shape[-1]]
+        pg = jnp.where(pg < 0, scratch_page, pg)
+        flat_pages.append(pg)
+        flat_slots.append(tok_pos % pool_k.shape[-1])
+    flat_pages = jnp.concatenate(flat_pages)              # [B*T]
+    flat_slots = jnp.concatenate(flat_slots)
 
     def layer_step(carry, xs):
         h = carry
@@ -126,13 +144,11 @@ def paged_forward(params, cfg: ModelConfig, tokens, position_ids,
         v = (x @ lp["wv"]).reshape(B, T, KH, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        for b in range(B):
-            nk = scatter_block_t(pk, tables[b], write_offsets[b],
-                                 k[b].transpose(1, 0, 2))
-            nv = scatter_block_t(pv, tables[b], write_offsets[b],
-                                 v[b].transpose(1, 0, 2))
-            pk = jnp.where(actives[b], nk, pk)
-            pv = jnp.where(actives[b], nv, pv)
+        # [B, T, KH, D] -> [B*T, KH, D] rows scattered to (page, slot)
+        pk = pk.at[flat_pages, :, :, flat_slots].set(
+            k.reshape(B * T, KH, D))
+        pv = pv.at[flat_pages, :, :, flat_slots].set(
+            v.reshape(B * T, KH, D))
         ctx = paged_block_attention(q, pk, pv, tables, attn_mask, kv_limits,
                                     interpret=interpret)
         h = h + ctx @ lp["wo"]

@@ -174,3 +174,42 @@ def test_large_corpus_build_fast():
     m, e = run_indexed(corpus, idx, history, start)
     assert m >= Q
     assert e == s + 40 or corpus[e] == start
+
+
+def test_engine_serves_1m_token_corpus():
+    """VERDICT r01 item 3 'done' bar: the fused engine serves a >=1M-token
+    corpus through the index (O(bucket) probes; the O(corpus) windowed scan
+    would be hopeless) and still retrieves corpus continuations."""
+    from samd_tpu.config import GenerationConfig
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.models import init_params, tiny_config
+
+    cfg = tiny_config(vocab_size=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.5)
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    prompt = list(np.random.default_rng(3).integers(2, 64, size=24))
+
+    probe = FusedSamEngine(cfg, params,
+                           FusedSamConfig(steps_per_call=8,
+                                          corpus_capacity=1024),
+                           max_cache_len=256, eos_token_id=-1,
+                           prefill_buckets=(32,))
+    traj = probe.generate(prompt, gen)
+    # 1M-token corpus: noise + the model's own trajectory embedded
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, 64, size=1 << 20).astype(np.int32)
+    emb_at = 700_000
+    doc = np.asarray(traj.output_ids + [0], np.int32)
+    big[emb_at:emb_at + len(doc)] = doc
+
+    fs = FusedSamEngine(
+        cfg, params,
+        FusedSamConfig(steps_per_call=8, corpus_capacity=1 << 20,
+                       indexed=True, index_bucket_cap=8),
+        corpus=big.tolist(), max_cache_len=256, eos_token_id=-1,
+        prefill_buckets=(32,))
+    out = fs.generate(prompt, gen)
+    # losslessness: same trajectory as the no-corpus probe (greedy)
+    assert out.output_ids == traj.output_ids
+    # the corpus must actually help: fewer verify steps than token count
+    assert out.decode_steps < out.decode_tokens

@@ -162,6 +162,6 @@ def test_paged_forward_matches_dense_forward():
     logits, _, _, _ = paged_forward(
         params, cfg, jnp.asarray(blocks, jnp.int32), pos,
         jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(tables), offsets,
-        mask, offsets + T, jnp.ones((B,), bool), interpret=True)
+        mask, offsets + T, n_pages - 1, interpret=True)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=5e-4, atol=5e-4)

@@ -70,3 +70,36 @@ def test_quantized_engine_lossless_vs_quantized_ar():
                         prefill_buckets=(32,))
     out = engine.generate(prompt, gen)
     assert out.output_ids == ref.output_ids
+
+
+def test_fp8_weight_only_quantization():
+    """FP8 (e4m3) weight-only: same 1 byte/weight as int8, wider per-channel
+    dynamic range; engine stays lossless vs its own fp8-quantized AR oracle."""
+    import jax.numpy as jnp
+
+    from samd_tpu.config import GenerationConfig, SamdConfig
+    from samd_tpu.drafters import make_drafter
+    from samd_tpu.engine import ArBaseline, SamdEngine
+    from samd_tpu.models import init_params, tiny_config
+    from samd_tpu.ops.quant import QuantizedTensor, quantize_llama_params
+
+    cfg = tiny_config(vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    qparams = quantize_llama_params(params, dtype=jnp.float8_e4m3fn)
+    assert isinstance(qparams["layers"]["wq"], QuantizedTensor)
+    assert qparams["layers"]["wq"].q.dtype == jnp.float8_e4m3fn
+    # quantization error is small relative to weight magnitude
+    w = np.asarray(params["layers"]["wq"], np.float32)
+    qt = qparams["layers"]["wq"]
+    deq = np.asarray(qt.q.astype(jnp.float32)) * np.asarray(qt.scale)[:, None]
+    assert np.abs(deq - w).max() < 0.1 * np.abs(w).max()
+
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    prompt = np.random.default_rng(0).integers(3, 128, size=20).tolist()
+    oracle = ArBaseline(cfg, qparams, max_cache_len=256, eos_token_id=-1,
+                        prefill_buckets=(32,), block_size=8)
+    scfg = SamdConfig(draft_source="sam_only", max_predicts=8)
+    eng = SamdEngine(cfg, qparams, scfg, make_drafter(scfg, cfg.vocab_size),
+                     max_cache_len=256, eos_token_id=-1, prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == \
+        oracle.generate(prompt, gen).output_ids
