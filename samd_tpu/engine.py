@@ -119,6 +119,7 @@ class SamdEngine:
     # ------------------------------------------------------------------
     def _build_prefill(self, P: int):
         cfg, S, K = self.model_cfg, self.max_cache_len, self.harvest_topk
+        wants_harvest = getattr(self.drafter, "wants_harvest", False)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def prefill(params, kv_k, kv_v, tokens, true_len):
@@ -128,7 +129,11 @@ class SamdEngine:
                 kv_k, kv_v, jnp.int32(0), mask)
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
-            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            # top-K harvest only when the drafter consumes it: lax.top_k
+            # over [P, V] costs real milliseconds per call on TPU, and the
+            # pure-automaton policies never read it
+            topk_tok = (jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             next_token = jnp.argmax(last_logits).astype(jnp.int32)
             return kv_k, kv_v, next_token, last_logits, topk_tok, hidden[0]
 
@@ -150,6 +155,7 @@ class SamdEngine:
         M = self.samd_cfg.max_predicts
         K = self.harvest_topk
         return_hidden = getattr(self.drafter, "wants_hidden", False)
+        wants_harvest = getattr(self.drafter, "wants_harvest", False)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def decode_step(params, kv_k, kv_v, cache_len, draft):
@@ -162,7 +168,11 @@ class SamdEngine:
             pack = jnp.concatenate([
                 res.accept_len[None], res.next_token[None],
                 res.accepted_tokens]).astype(jnp.int32)
-            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            # harvest only when consumed: lax.top_k over [M, V] costs ~4.6 ms
+            # per step on the 1B model (measured, v5e) — the difference
+            # between 1.55x and 1.85x for the pure-automaton policy
+            topk_tok = (jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             # target hidden states along the accepted path (for EAGLE-style
             # drafters; reference plumbs these via a patched forward,
             # /root/reference/samd/model_patch/llama.py:114-204)
@@ -182,6 +192,7 @@ class SamdEngine:
         K = self.harvest_topk
 
         return_hidden = getattr(self.drafter, "wants_hidden", False)
+        wants_harvest = getattr(self.drafter, "wants_harvest", False)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
         def decode_step(params, kv_k, kv_v, cache_len, draft, key):
@@ -193,7 +204,8 @@ class SamdEngine:
             pack = jnp.concatenate([
                 res.accept_len[None], res.next_token[None],
                 res.accepted_tokens]).astype(jnp.int32)
-            topk_tok = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            topk_tok = (jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                        if wants_harvest else None)
             path_hidden = hidden[0][res.path_nodes] if return_hidden else None
             return kv_k, kv_v, pack, topk_tok, path_hidden
 
