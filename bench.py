@@ -519,6 +519,35 @@ def main():
     except Exception:
         log("fused hybrid EAGLE section FAILED:\n" + traceback.format_exc())
 
+    # --- trained-weights acceptance (tiny model, honest accept numbers) ---
+    # Every row above runs random weights (mechanics only).  This trains a
+    # tiny target + EAGLE draft net on a peaked Markov corpus ON this TPU
+    # and reports real mean-accepted-tokens — the quantity the reference's
+    # results tables report (BASELINE.md: 2.30 sam_only / 3.03 TR / 4.62
+    # EAGLE-2).  See samd_tpu/evaluation/accept_demo.py.
+    try:
+        from samd_tpu.evaluation.accept_demo import run as accept_demo_run
+
+        log("trained-weights accept demo (training tiny model + EAGLE "
+            "net on-device)...")
+        t0 = time.perf_counter()
+        demo = accept_demo_run(steps=400, vocab=64, new_tokens=48)
+        log(f"accept demo done in {time.perf_counter() - t0:.1f}s: "
+            f"{demo['accept']}")
+        detail.update({
+            "trained_tiny_lm_loss": demo["lm_loss"],
+            "trained_accept_sam_only_corpus":
+                demo["accept"]["sam_only_trained"],
+            "trained_accept_eagle2": demo["accept"]["eagle2_trained"],
+            "trained_accept_eagle2_random_net":
+                demo["accept"]["eagle2_random_net"],
+            "trained_accept_sam_eagle2_hybrid":
+                demo["accept"]["sam_eagle2_trained"],
+            "reference_eagle2_mean_accept": 4.62,
+        })
+    except Exception:
+        log("trained-accept section FAILED:\n" + traceback.format_exc())
+
     speedup = fs_tps / ar_tps
     detail.update({
         "model": "llama-1b-random-bf16",
