@@ -182,57 +182,68 @@ def main():
     })
 
     # --- continuous batching throughput (B=4, same prompt mix) ------------
+    # Each batched engine gets a corpus from its OWN trajectory: batched /
+    # paged forwards accumulate bf16 differently than the single-stream
+    # block oracle, so an oracle-built corpus misses on near-tie flips and
+    # the accept rate collapses (the r01 INT8 anomaly, same mechanism).
     from samd_tpu.batching import BatchedSamdEngine
     from samd_tpu.sam import SamCursor
 
-    bat = BatchedSamdEngine(
-        cfg, params, samd_cfg,
-        lambda: make_drafter(samd_cfg, cfg.vocab_size,
-                             static_sam=SamCursor(static_sam)),
-        batch_size=4, max_cache_len=MAX_CACHE, eos_token_id=-1,
-        prefill_buckets=(128,))
-    bat.add_request(prompts[0][:64],
-                    GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
-    bat.run()  # warmup/compile
-    t0 = time.perf_counter()
-    for p in all_prompts * 2:
-        bat.add_request(p, gen)
-    bres = bat.run()
-    bdt = time.perf_counter() - t0
-    btok = sum(r.decode_tokens for r in bres.values())
-    log(f"batched samd (B=4): {btok} tokens in {bdt:.2f}s = {btok/bdt:.1f} tok/s")
-    detail["batched_samd_tokens_per_s"] = round(btok / bdt, 2)
+    def run_batched(engine_ctor, label):
+        """(probe → own-trajectory corpus → timed run) for a batched
+        engine class; returns (tok/s, mean accept, tokens, dt)."""
+        probe = engine_ctor(
+            lambda: make_drafter(samd_cfg, cfg.vocab_size))
+        probe.add_request(prompts[0][:64],
+                          GenerationConfig(max_new_tokens=4,
+                                           max_cache_len=MAX_CACHE))
+        probe.run()  # warmup/compile
+        for p in overlap_prompts:
+            probe.add_request(p, gen)
+        probe_out = [r.output_ids for r in probe.run().values()]
+        own_sam = build_corpus_sam(probe_out, eos_token=0, topk=8)
+        eng = engine_ctor(
+            lambda: make_drafter(samd_cfg, cfg.vocab_size,
+                                 static_sam=SamCursor(own_sam)))
+        eng.add_request(prompts[0][:64],
+                        GenerationConfig(max_new_tokens=4,
+                                         max_cache_len=MAX_CACHE))
+        eng.run()
+        t0 = time.perf_counter()
+        for p in all_prompts * 2:
+            eng.add_request(p, gen)
+        res = eng.run()
+        dt = time.perf_counter() - t0
+        tok = sum(r.decode_tokens for r in res.values())
+        steps = sum(r.decode_steps for r in res.values())
+        log(f"{label}: {tok} tokens in {dt:.2f}s = {tok/dt:.1f} tok/s, "
+            f"accept {tok/max(steps,1):.2f}")
+        return tok / dt, tok / max(steps, 1), tok, dt
+
+    btps, bacc, btok, bdt = run_batched(
+        lambda df: BatchedSamdEngine(
+            cfg, params, samd_cfg, df, batch_size=4,
+            max_cache_len=MAX_CACHE, eos_token_id=-1,
+            prefill_buckets=(128,)),
+        "batched samd (B=4, own corpus)")
+    detail["batched_samd_tokens_per_s"] = round(btps, 2)
+    detail["batched_samd_mean_accept"] = round(bacc, 3)
 
     # --- paged serving at B=4 (page-table-consuming attention kernel) -----
     try:
         from samd_tpu.batching import PagedBatchedSamdEngine
 
-        paged = PagedBatchedSamdEngine(
-            cfg, params, samd_cfg,
-            lambda: make_drafter(samd_cfg, cfg.vocab_size,
-                                 static_sam=SamCursor(static_sam)),
-            batch_size=4, max_cache_len=MAX_CACHE, eos_token_id=-1,
-            prefill_buckets=(128,), n_pages=48, page_size=128,
-            interpret=False)
-        paged.add_request(prompts[0][:64],
-                          GenerationConfig(max_new_tokens=4,
-                                           max_cache_len=MAX_CACHE))
-        paged.run()  # warmup/compile
-        t0 = time.perf_counter()
-        for p in all_prompts * 2:
-            paged.add_request(p, gen)
-        pres = paged.run()
-        pdt = time.perf_counter() - t0
-        ptok = sum(r.decode_tokens for r in pres.values())
-        log(f"paged batched samd (B=4): {ptok} tokens in {pdt:.2f}s = "
-            f"{ptok/pdt:.1f} tok/s (pool {paged.pool.n_pages}x"
-            f"{paged.page_size} = {paged.pool.n_pages * paged.page_size} "
-            f"KV slots vs dense {4 * MAX_CACHE})")
-        detail["paged_batched_samd_tokens_per_s"] = round(ptok / pdt, 2)
-        detail["paged_vs_dense_batched_ratio"] = round(
-            (ptok / pdt) / (btok / bdt), 3)
-        detail["paged_kv_slots_vs_dense"] = \
-            f"{paged.pool.n_pages * paged.page_size}/{4 * MAX_CACHE}"
+        ptps, pacc, *_ = run_batched(
+            lambda df: PagedBatchedSamdEngine(
+                cfg, params, samd_cfg, df, batch_size=4,
+                max_cache_len=MAX_CACHE, eos_token_id=-1,
+                prefill_buckets=(128,), n_pages=48, page_size=128,
+                interpret=False),
+            "paged batched samd (B=4, own corpus)")
+        detail["paged_batched_samd_tokens_per_s"] = round(ptps, 2)
+        detail["paged_batched_mean_accept"] = round(pacc, 3)
+        detail["paged_vs_dense_batched_ratio"] = round(ptps / btps, 3)
+        detail["paged_kv_slots_vs_dense"] = f"{49 * 128}/{4 * MAX_CACHE}"
     except Exception:
         log("paged batched section FAILED:\n" + traceback.format_exc())
 

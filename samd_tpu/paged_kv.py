@@ -183,12 +183,15 @@ class PagedRequest:
         if need > len(self.pages):
             self.pages.extend(self.pool.alloc(need - len(self.pages)))
 
-    def table(self) -> jax.Array:
+    def host_table(self):
         import numpy as np
 
         t = np.full(self.max_pages, -1, np.int32)
         t[:len(self.pages)] = self.pages
-        return jnp.asarray(t)
+        return t
+
+    def table(self) -> jax.Array:
+        return jnp.asarray(self.host_table())
 
     def release(self) -> None:
         self.pool.free(self.pages)
