@@ -250,7 +250,7 @@ def main():
     # --- device-resident fused PLD (zero per-step host traffic) -----------
     from samd_tpu.pld import PldConfig, PldEngine
 
-    pld = PldEngine(cfg, params, PldConfig(steps_per_call=32),
+    pld = PldEngine(cfg, params, PldConfig(steps_per_call=256),
                     max_cache_len=MAX_CACHE, eos_token_id=-1,
                     prefill_buckets=(128,))
     pld.generate(prompts[0][:64],
@@ -265,7 +265,7 @@ def main():
     # --- fused SAM-style retrieval engine (flagship serving mode) ---------
     from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
 
-    fscfg = FusedSamConfig(steps_per_call=32, corpus_capacity=4096)
+    fscfg = FusedSamConfig(steps_per_call=256, corpus_capacity=4096)
     fs_probe = FusedSamEngine(cfg, params, fscfg, max_cache_len=MAX_CACHE,
                               eos_token_id=-1, prefill_buckets=(128,))
     fs_probe.generate(prompts[0][:64],
@@ -378,7 +378,7 @@ def main():
         big[emb_at:emb_at + len(doc)] = doc
         fs1m = FusedSamEngine(
             cfg, params,
-            FusedSamConfig(steps_per_call=16, corpus_capacity=1 << 20,
+            FusedSamConfig(steps_per_call=256, corpus_capacity=1 << 20,
                            indexed=True, index_bucket_cap=8),
             corpus=big.tolist(), max_cache_len=MAX_CACHE, eos_token_id=-1,
             prefill_buckets=(128,))
@@ -411,7 +411,7 @@ def main():
     )
 
     ftr = FusedTokenRecycleEngine(
-        cfg, params, FusedTokenRecycleConfig(steps_per_call=32),
+        cfg, params, FusedTokenRecycleConfig(steps_per_call=256),
         max_cache_len=MAX_CACHE, eos_token_id=-1, prefill_buckets=(128,))
     ftr.generate(prompts[0][:64],
                  GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
@@ -427,7 +427,7 @@ def main():
         from samd_tpu.fused_hybrid import FusedHybridConfig, FusedHybridEngine
 
         hy = FusedHybridEngine(
-            cfg, params, FusedHybridConfig(steps_per_call=16),
+            cfg, params, FusedHybridConfig(steps_per_call=256),
             corpus=corpus64, max_cache_len=MAX_CACHE, eos_token_id=-1,
             prefill_buckets=(128,))
         log("fused SAM[token_recycle] warmup/compile...")

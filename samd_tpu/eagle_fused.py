@@ -146,7 +146,7 @@ class FusedEagle2Engine:
     def __init__(self, model_cfg: ModelConfig, params: Params, *,
                  net_params: Optional[Dict] = None,
                  depth: int = 5, topk: int = 8, total_tokens: int = 63,
-                 steps_per_call: int = 8,
+                 steps_per_call: int = 256,
                  max_cache_len: int = 2048, eos_token_id: int = 2,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
         self.model_cfg = model_cfg
@@ -289,7 +289,10 @@ class FusedEagle2Engine:
 
             init = (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start_token,
                     last_hidden, budget, jnp.bool_(False), jnp.int32(0), key)
-            return jax.lax.while_loop(cond, body, init)[:-1]
+            out = jax.lax.while_loop(cond, body, init)
+            from .fused_base import pack_ctrl
+            ctrl = pack_ctrl(out[5], out[10], out[9])
+            return out[:9] + (ctrl,)
 
         return fused
 
@@ -329,19 +332,20 @@ class FusedEagle2Engine:
         start = next_token
         done = False
         decode_steps = 0
+        hl = len(input_ids)
         while not done:
             key, sub = jax.random.split(key)
             (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, history, hist_len,
-             start, last_hidden, budget, done_d, steps) = fused(
+             start, last_hidden, budget, ctrl) = fused(
                 self.params, self.net_params, self.kv_k, self.kv_v,
                 self.ekv_k, self.ekv_v, history, hist_len, start, last_hidden,
                 budget, jnp.int32(self.eos_token_id), sub)
-            decode_steps += int(steps)
-            done = bool(done_d) or int(steps) == 0 or \
-                int(hist_len) + self.M > self.S
+            hl, steps, done_d = (int(x) for x in np.asarray(ctrl))
+            decode_steps += steps
+            done = bool(done_d) or steps == 0 or hl + self.M > self.S
         from .fused_base import finalize_generation
 
-        output = finalize_generation(history, int(hist_len), len(input_ids),
+        output = finalize_generation(history, hl, len(input_ids),
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])

@@ -83,6 +83,18 @@ def load_corpus_buffer(corpus, capacity: int) -> Tuple[jax.Array, jax.Array]:
     return jnp.asarray(buf), jnp.int32(n)
 
 
+def pack_ctrl(*scalars) -> jax.Array:
+    """Pack a fused loop's per-call control scalars (hist_len, steps, done,
+    ...) into one int32 vector inside the jit.
+
+    Through the tunneled TPU every blocking host fetch costs ~10-35 ms;
+    casting each returned scalar with ``int()`` separately made a
+    steps_per_call segment pay 4+ round trips of pure latency. One packed
+    vector = one transfer.
+    """
+    return jnp.stack([jnp.asarray(s).astype(jnp.int32) for s in scalars])
+
+
 def finalize_generation(history: jax.Array, hist_len: int,
                         prompt_len: int, eos_token_id: int,
                         max_new_tokens: int) -> List[int]:

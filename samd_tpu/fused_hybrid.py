@@ -51,7 +51,7 @@ class FusedHybridConfig:
     len_bias: int = 5
     tree_nodes: int = 61        # Token-Recycle topology size
     topk: int = 8
-    steps_per_call: int = 16
+    steps_per_call: int = 256
     corpus_capacity: int = 1 << 15
     max_block: int = 64         # M >= max(n_predicts, tree_nodes)
     # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
@@ -258,7 +258,11 @@ class FusedHybridEngine:
 
             init = (kv_k, kv_v, harvest, seen, history, hist_len, start_token,
                     budget, jnp.bool_(False), jnp.int32(0), jnp.int32(0), key)
-            return jax.lax.while_loop(cond, body, init)[:-1]
+            out = jax.lax.while_loop(cond, body, init)
+            from .fused_base import pack_ctrl
+            # device state + one host-fetched control vector
+            ctrl = pack_ctrl(out[5], out[9], out[10], out[8])
+            return out[:8] + (ctrl,)
 
         return fused
 
@@ -296,22 +300,24 @@ class FusedHybridEngine:
         done = False
         decode_steps = 0
         self.sam_steps = 0  # this request's retrieval-draft steps
+        hl = len(input_ids)
         while not done:
             key, sub = jax.random.split(key)
             (self.kv_k, self.kv_v, self.harvest, self.seen, history, hist_len,
-             start, budget, done_d, steps, sam_steps) = fused(
+             start, budget, ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, self.harvest, self.seen,
                 history, hist_len, start, budget,
                 jnp.int32(self.eos_token_id), sub)
-            decode_steps += int(steps)
-            self.sam_steps += int(sam_steps)
-            self.sam_steps_total += int(sam_steps)
-            self.steps_total += int(steps)
-            done = bool(done_d) or int(steps) == 0 or \
-                int(hist_len) + self.cfg.max_block > self.S
+            hl, steps, sam_steps, done_d = (int(x) for x in np.asarray(ctrl))
+            decode_steps += steps
+            self.sam_steps += sam_steps
+            self.sam_steps_total += sam_steps
+            self.steps_total += steps
+            done = bool(done_d) or steps == 0 or \
+                hl + self.cfg.max_block > self.S
         from .fused_base import finalize_generation
 
-        output = finalize_generation(history, int(hist_len), len(input_ids),
+        output = finalize_generation(history, hl, len(input_ids),
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])
@@ -333,7 +339,7 @@ class FusedHybridEagleConfig:
     eagle_depth: int = 5
     eagle_topk: int = 8
     eagle_total: int = 63
-    steps_per_call: int = 8
+    steps_per_call: int = 256
     corpus_capacity: int = 1 << 15
     max_block: int = 64
     # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
@@ -512,7 +518,10 @@ class FusedHybridEagleEngine:
             init = (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start_token,
                     last_hidden, budget, jnp.bool_(False), jnp.int32(0),
                     jnp.int32(0))
-            return jax.lax.while_loop(cond, body, init)
+            out = jax.lax.while_loop(cond, body, init)
+            from .fused_base import pack_ctrl
+            ctrl = pack_ctrl(out[5], out[10], out[11], out[9])
+            return out[:9] + (ctrl,)
 
         return fused
 
@@ -540,22 +549,24 @@ class FusedHybridEagleEngine:
         done = False
         decode_steps = 0
         self.sam_steps = 0
+        hl = len(input_ids)
         while not done:
             (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, history, hist_len,
-             start, last_hidden, budget, done_d, steps, sam_steps) = \
+             start, last_hidden, budget, ctrl) = \
                 self._fused(self.params, self.net_params, self.kv_k,
                             self.kv_v, self.ekv_k, self.ekv_v, history,
                             hist_len, start, last_hidden, budget,
                             jnp.int32(self.eos_token_id))
-            decode_steps += int(steps)
-            self.sam_steps += int(sam_steps)
-            self.sam_steps_total += int(sam_steps)
-            self.steps_total += int(steps)
-            done = bool(done_d) or int(steps) == 0 or \
-                int(hist_len) + self.cfg.max_block > self.S
+            hl, steps, sam_steps, done_d = (int(x) for x in np.asarray(ctrl))
+            decode_steps += steps
+            self.sam_steps += sam_steps
+            self.sam_steps_total += sam_steps
+            self.steps_total += steps
+            done = bool(done_d) or steps == 0 or \
+                hl + self.cfg.max_block > self.S
         from .fused_base import finalize_generation
 
-        output = finalize_generation(history, int(hist_len), len(input_ids),
+        output = finalize_generation(history, hl, len(input_ids),
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])

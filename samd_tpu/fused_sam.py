@@ -51,7 +51,7 @@ class FusedSamConfig:
     n_predicts: int = 59      # max draft continuation (block = +1)
     alpha: float = 4.0
     len_bias: int = 0
-    steps_per_call: int = 16
+    steps_per_call: int = 256
     corpus_capacity: int = 1 << 15  # static corpus buffer size (one compile
                                     # serves any corpus up to this length)
     # n-gram hash index (ops/ngram_index.py): O(bucket) corpus probes instead
@@ -340,7 +340,10 @@ class FusedSamEngine:
             init = (kv_k, kv_v, history, hist_len, start_token, budget,
                     jnp.bool_(False), jnp.int32(0), jnp.int32(0), key)
             out = jax.lax.while_loop(cond, body, init)
-            return out[:-1]  # drop the key from the returned state
+            from .fused_base import pack_ctrl
+            # state stays on device; ctrl is the one host-fetched vector
+            ctrl = pack_ctrl(out[3], out[7], out[8], out[6])
+            return out[:6] + (ctrl,)
 
         return fused
 
@@ -379,20 +382,22 @@ class FusedSamEngine:
         start = next_token
         done = False
         decode_steps = 0
+        hl = len(input_ids)
         while not done:
             key, sub = jax.random.split(key)
-            (self.kv_k, self.kv_v, history, hist_len, start, budget, done_d,
-             steps, dyn_steps) = fused(
+            (self.kv_k, self.kv_v, history, hist_len, start, budget,
+             ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, history, hist_len, start,
                 budget, jnp.int32(self.eos_token_id), sub)
-            decode_steps += int(steps)
-            self.stats_dyn += int(dyn_steps)
-            done = bool(done_d) or int(steps) == 0 or \
-                int(hist_len) + self.cfg.block > self.S
+            hl, steps, dyn_steps, done_d = (int(x) for x in np.asarray(ctrl))
+            decode_steps += steps
+            self.stats_dyn += dyn_steps
+            done = bool(done_d) or steps == 0 or \
+                hl + self.cfg.block > self.S
         self.stats_steps += decode_steps
         from .fused_base import finalize_generation
 
-        output = finalize_generation(history, int(hist_len), len(input_ids),
+        output = finalize_generation(history, hl, len(input_ids),
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])
@@ -419,7 +424,9 @@ class BatchedFusedSamEngine:
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
         self.model_cfg = model_cfg
         self.params = params
-        self.cfg = fs_cfg or FusedSamConfig()
+        # short segments by default: steps_per_call is the admission
+        # granularity for continuous batching (single-stream wants it large)
+        self.cfg = fs_cfg or FusedSamConfig(steps_per_call=16)
         self.B = batch_size
         self.S = max_cache_len
         self.eos_token_id = eos_token_id
@@ -568,8 +575,14 @@ class BatchedFusedSamEngine:
                     jnp.int32(0), jnp.zeros((B,), jnp.int32), keys)
             (kv_k, kv_v, histories, hist_lens, starts, budgets, lives, steps,
              slot_steps, keys) = jax.lax.while_loop(cond, body, init)
-            return (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
-                    slot_steps, keys)
+            # pack every per-slot scalar the host needs into ONE int32
+            # matrix so the segment costs a single device->host transfer
+            key_rows = jax.lax.bitcast_convert_type(keys, jnp.int32).T
+            ctrl = jnp.concatenate([
+                jnp.stack([hist_lens, starts, budgets,
+                           lives.astype(jnp.int32), slot_steps]),
+                key_rows], axis=0)
+            return (kv_k, kv_v, histories, ctrl)
 
         return fused
 
@@ -642,19 +655,19 @@ class BatchedFusedSamEngine:
             else:
                 fused = self._fused
             # fused segment
-            (self.kv_k, self.kv_v, self.histories, hl, st, bu, lives,
-             slot_steps, new_keys) = fused(
+            (self.kv_k, self.kv_v, self.histories, ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, self.histories,
                 jnp.asarray(hist_lens), jnp.asarray(starts),
                 jnp.asarray(budgets), jnp.asarray(actives),
                 jnp.int32(self.eos_token_id), jnp.asarray(keys),
                 jnp.asarray(samp_flags))
-            keys = np.asarray(new_keys).copy()
-            hist_lens = np.asarray(hl).copy()
-            starts = np.asarray(st).copy()
-            budgets = np.asarray(bu).copy()
-            lives = np.asarray(lives)
-            steps_arr = np.asarray(slot_steps)
+            ctrl_np = np.asarray(ctrl)
+            hist_lens = ctrl_np[0].copy()
+            starts = ctrl_np[1].copy()
+            budgets = ctrl_np[2].copy()
+            lives = ctrl_np[3].astype(bool)
+            steps_arr = ctrl_np[4]
+            keys = np.ascontiguousarray(ctrl_np[5:7].T).view(np.uint32)
             hist_np = None
             for i in range(B):
                 if not actives[i]:

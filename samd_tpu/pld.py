@@ -40,7 +40,7 @@ class PldConfig:
     (/root/reference/evaluation/model/pld/pld.py:53-55)."""
     max_ngram: int = 3
     n_predicts: int = 10          # draft continuation length
-    steps_per_call: int = 16      # device loop iterations per dispatch
+    steps_per_call: int = 256    # device loop iterations per dispatch
 
     @property
     def block(self) -> int:       # verify block M = start token + draft
@@ -186,8 +186,9 @@ class PldEngine:
                     jnp.bool_(False), jnp.int32(0), jnp.int32(0))
             (kv_k, kv_v, history, hist_len, start, budget, done, steps,
              accepted_total) = jax.lax.while_loop(cond, body, init)
-            return (kv_k, kv_v, history, hist_len, start, budget, done,
-                    steps, accepted_total)
+            from .fused_base import pack_ctrl
+            ctrl = pack_ctrl(hist_len, steps, done)
+            return (kv_k, kv_v, history, hist_len, start, budget, ctrl)
 
         return fused
 
@@ -213,17 +214,19 @@ class PldEngine:
         start = next_token
         done = False
         decode_steps = 0
+        hl = len(input_ids)
         while not done:
-            (self.kv_k, self.kv_v, history, hist_len, start, budget, done_d,
-             steps, _) = self._fused(
+            (self.kv_k, self.kv_v, history, hist_len, start, budget,
+             ctrl) = self._fused(
                 self.params, self.kv_k, self.kv_v, history, hist_len, start,
                 budget, jnp.int32(self.eos_token_id))
-            decode_steps += int(steps)
-            done = bool(done_d) or int(steps) == 0 or \
-                int(hist_len) + self.cfg.block > self.S
+            hl, steps, done_d = (int(x) for x in np.asarray(ctrl))
+            decode_steps += steps
+            done = bool(done_d) or steps == 0 or \
+                hl + self.cfg.block > self.S
         from .fused_base import finalize_generation
 
-        output = finalize_generation(history, int(hist_len), len(input_ids),
+        output = finalize_generation(history, hl, len(input_ids),
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])

@@ -44,7 +44,7 @@ from .verify import greedy_accept
 class FusedTokenRecycleConfig:
     num_nodes: int = 61
     topk: int = 8
-    steps_per_call: int = 16
+    steps_per_call: int = 256
 
 
 class FusedTokenRecycleEngine:
@@ -199,7 +199,10 @@ class FusedTokenRecycleEngine:
 
             init = (kv_k, kv_v, harvest, seen, history, hist_len, start_token,
                     budget, jnp.bool_(False), jnp.int32(0))
-            return jax.lax.while_loop(cond, body, init)
+            out = jax.lax.while_loop(cond, body, init)
+            from .fused_base import pack_ctrl
+            ctrl = pack_ctrl(out[5], out[9], out[8])
+            return out[:8] + (ctrl,)
 
         return fused
 
@@ -226,18 +229,19 @@ class FusedTokenRecycleEngine:
         start = next_token
         done = False
         decode_steps = 0
+        hl = len(input_ids)
         while not done:
             (self.kv_k, self.kv_v, self.harvest, self.seen, history, hist_len,
-             start, budget, done_d, steps) = self._fused(
+             start, budget, ctrl) = self._fused(
                 self.params, self.kv_k, self.kv_v, self.harvest, self.seen,
                 history, hist_len, start, budget,
                 jnp.int32(self.eos_token_id))
-            decode_steps += int(steps)
-            done = bool(done_d) or int(steps) == 0 or \
-                int(hist_len) + self.N > self.S
+            hl, steps, done_d = (int(x) for x in np.asarray(ctrl))
+            decode_steps += steps
+            done = bool(done_d) or steps == 0 or hl + self.N > self.S
         from .fused_base import finalize_generation
 
-        output = finalize_generation(history, int(hist_len), len(input_ids),
+        output = finalize_generation(history, hl, len(input_ids),
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])
