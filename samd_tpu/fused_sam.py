@@ -517,11 +517,18 @@ class BatchedFusedSamEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, histories, hist_lens, starts, budgets,
-                  actives, eos_id, keys, samp_flags):
+                  actives, eos_id, keys, samp_flags, refill):
+            init_lives = actives & (budgets > 0) & (hist_lens + M <= S)
+
             def cond(st):
                 (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
                  steps, slot_steps, keys) = st
-                return jnp.any(lives) & (steps < fc.steps_per_call)
+                # when the host has queued requests (refill), end the
+                # segment as soon as any slot finishes so it can be
+                # re-admitted — long segments then cost no utilization
+                freed = jnp.any(init_lives & ~lives)
+                return (jnp.any(lives) & (steps < fc.steps_per_call)
+                        & ~(refill & freed))
 
             def body(st):
                 (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
@@ -570,9 +577,9 @@ class BatchedFusedSamEngine:
                 return (kv_k, kv_v, histories, hist_lens, starts, budgets,
                         lives, steps + 1, slot_steps, keys)
 
-            lives = actives & (budgets > 0) & (hist_lens + M <= S)
-            init = (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
-                    jnp.int32(0), jnp.zeros((B,), jnp.int32), keys)
+            init = (kv_k, kv_v, histories, hist_lens, starts, budgets,
+                    init_lives, jnp.int32(0), jnp.zeros((B,), jnp.int32),
+                    keys)
             (kv_k, kv_v, histories, hist_lens, starts, budgets, lives, steps,
              slot_steps, keys) = jax.lax.while_loop(cond, body, init)
             # pack every per-slot scalar the host needs into ONE int32
@@ -660,7 +667,7 @@ class BatchedFusedSamEngine:
                 jnp.asarray(hist_lens), jnp.asarray(starts),
                 jnp.asarray(budgets), jnp.asarray(actives),
                 jnp.int32(self.eos_token_id), jnp.asarray(keys),
-                jnp.asarray(samp_flags))
+                jnp.asarray(samp_flags), jnp.bool_(bool(self.queue)))
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
             starts = ctrl_np[1].copy()
