@@ -213,8 +213,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     if isinstance(head, QuantizedTensor):
-        logits = jnp.dot(h, head.q.astype(h.dtype),
-                         preferred_element_type=jnp.float32) * head.scale
+        # pre-dequant form (see ops/quant.qmatmul) but with f32 logits:
+        # verify compares fp32 logit argmaxes, keep the head accumulation
+        # and output dtype identical to the bf16 path
+        logits = jnp.dot(h, head.q.astype(h.dtype)
+                         * head.scale.astype(h.dtype),
+                         preferred_element_type=jnp.float32)
     else:
         logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
     return logits, h, kv_k, kv_v
