@@ -23,3 +23,17 @@ def test_cli_token_repl(engine):
     toks = [t for t in first.replace("USER>", "").replace(
         "ASSISTANT>", "").split() if t]
     assert len(toks) >= 1 and all(t.isdigit() for t in toks)
+
+
+@pytest.mark.parametrize("quantize", ["int8", "fp8"])
+def test_cli_quantized(quantize):
+    """--quantize serves weight-only quantized params through the fused
+    engine (the recommended fast serving config; docs/PERFORMANCE.md)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "samd_tpu.cli", "--random-model", "--tiny",
+         "--cpu", "--engine", "fused_sam", "--quantize", quantize,
+         "--max-new-tokens", "8", "--max-cache-len", "256"],
+        input="5 6 7 8 9 10\n!!exit\n",
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("ASSISTANT>") == 1
