@@ -364,6 +364,49 @@ def main():
     detail["batched_fused_sam_speedup"] = round(bfs_tps / ar_tps, 4)
     detail["batch_size"] = 4
 
+    # --- INT8 batched fused-sam: the peak-throughput serving config -------
+    # (int8 halves the per-step weight streaming that B=4 already shares
+    # across slots).  The corpus must come from the *batched int8* engine's
+    # own trajectory: its accumulation order differs from the single-stream
+    # int8 forward's, so a single-stream corpus misses on near-tie flips
+    # and accept collapses to ~1.15 (measured) — the own-trajectory rule
+    # applies per compiled program, not just per dtype.
+    try:
+        bq_probe = BatchedFusedSamEngine(
+            cfg, qparams, fscfg, batch_size=4, max_cache_len=MAX_CACHE,
+            eos_token_id=-1, prefill_buckets=(128,))
+        bq_probe.add_request(prompts[0][:64],
+                             GenerationConfig(max_new_tokens=4,
+                                              max_cache_len=MAX_CACHE))
+        bq_probe.run()
+        for p in overlap_prompts:
+            bq_probe.add_request(p, gen)
+        bq_corpus = []
+        for r in bq_probe.run().values():
+            bq_corpus += r.output_ids + [0]
+        bq = BatchedFusedSamEngine(cfg, qparams, fscfg, corpus=bq_corpus,
+                                   batch_size=4, max_cache_len=MAX_CACHE,
+                                   eos_token_id=-1, prefill_buckets=(128,))
+        bq.add_request(prompts[0][:64],
+                       GenerationConfig(max_new_tokens=4,
+                                        max_cache_len=MAX_CACHE))
+        bq.run()
+        t0 = time.perf_counter()
+        for p in all_prompts * 2:
+            bq.add_request(p, gen)
+        bq_res = bq.run()
+        bq_dt = time.perf_counter() - t0
+        bq_tok = sum(r.decode_tokens for r in bq_res.values())
+        bq_steps = sum(r.decode_steps for r in bq_res.values())
+        bq_tps = bq_tok / bq_dt
+        log(f"int8 batched fused-sam (B=4): {bq_tok} tokens in {bq_dt:.2f}s "
+            f"= {bq_tps:.1f} tok/s, accept {bq_tok/max(bq_steps,1):.2f}")
+        detail["int8_batched_fused_sam_tokens_per_s"] = round(bq_tps, 2)
+        detail["int8_batched_fused_sam_mean_accept"] = round(
+            bq_tok / max(bq_steps, 1), 3)
+    except Exception:
+        log("int8 batched section FAILED:\n" + traceback.format_exc())
+
     # --- corpus-scale retrieval: 1M-token corpus through the n-gram index --
     # (reference corpora are millions of tokens, tools/gen_sam_alpaca.py;
     #  the windowed O(corpus) scan is hopeless there — the index probes
