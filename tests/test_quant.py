@@ -72,6 +72,30 @@ def test_quantized_engine_lossless_vs_quantized_ar():
     assert out.output_ids == ref.output_ids
 
 
+def test_quantized_fused_engine_lossless_vs_quantized_ar():
+    """The fused device-loop engine (the INT8 serving config, bench.py)
+    stays trajectory-lossless with quantized weights: block-AR oracle with
+    the same int8 params and block shape produces identical tokens."""
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+
+    cfg = tiny_config(vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    qparams = quantize_llama_params(params)
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    prompt = np.random.default_rng(1).integers(3, 128, size=16).tolist()
+
+    M = 8
+    oracle = ArBaseline(cfg, qparams, max_cache_len=256, eos_token_id=-1,
+                        prefill_buckets=(32,), block_size=M)
+    ref = oracle.generate(prompt, gen)
+    eng = FusedSamEngine(cfg, qparams,
+                         FusedSamConfig(n_predicts=M - 1, steps_per_call=64,
+                                        corpus_capacity=512),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == ref.output_ids
+
+
 def test_fp8_weight_only_quantization():
     """FP8 (e4m3) weight-only: same 1 byte/weight as int8, wider per-channel
     dynamic range; engine stays lossless vs its own fp8-quantized AR oracle."""
