@@ -404,6 +404,44 @@ def main():
         detail["int8_batched_fused_sam_tokens_per_s"] = round(bq_tps, 2)
         detail["int8_batched_fused_sam_mean_accept"] = round(
             bq_tok / max(bq_steps, 1), 3)
+
+        # peak-throughput config: B=8 (B=16 regresses — the [B,M,V] verify
+        # logits and [B,KH,G,M,S] score traffic outgrow the slot gains).
+        # Own-trajectory corpus again: B=8 is a different compiled program
+        # than B=4, so the B=4 corpus may miss on near-tie flips.
+        b8_probe = BatchedFusedSamEngine(
+            cfg, qparams, fscfg, batch_size=8, max_cache_len=MAX_CACHE,
+            eos_token_id=-1, prefill_buckets=(128,))
+        b8_probe.add_request(prompts[0][:64],
+                             GenerationConfig(max_new_tokens=4,
+                                              max_cache_len=MAX_CACHE))
+        b8_probe.run()
+        for p in overlap_prompts:
+            b8_probe.add_request(p, gen)
+        b8_corpus = []
+        for r in b8_probe.run().values():
+            b8_corpus += r.output_ids + [0]
+        b8 = BatchedFusedSamEngine(cfg, qparams, fscfg, corpus=b8_corpus,
+                                   batch_size=8, max_cache_len=MAX_CACHE,
+                                   eos_token_id=-1, prefill_buckets=(128,))
+        b8.add_request(prompts[0][:64],
+                       GenerationConfig(max_new_tokens=4,
+                                        max_cache_len=MAX_CACHE))
+        b8.run()
+        t0 = time.perf_counter()
+        for p in all_prompts * 4:
+            b8.add_request(p, gen)
+        b8_res = b8.run()
+        b8_dt = time.perf_counter() - t0
+        b8_tok = sum(r.decode_tokens for r in b8_res.values())
+        b8_steps = sum(r.decode_steps for r in b8_res.values())
+        b8_tps = b8_tok / b8_dt
+        log(f"int8 batched fused-sam (B=8, peak): {b8_tok} tokens in "
+            f"{b8_dt:.2f}s = {b8_tps:.1f} tok/s, "
+            f"accept {b8_tok/max(b8_steps,1):.2f}")
+        detail["int8_batched_b8_tokens_per_s"] = round(b8_tps, 2)
+        detail["int8_batched_b8_mean_accept"] = round(
+            b8_tok / max(b8_steps, 1), 3)
     except Exception:
         log("int8 batched section FAILED:\n" + traceback.format_exc())
 
