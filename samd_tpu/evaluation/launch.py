@@ -123,6 +123,12 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--model-id", default="samd_tpu")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend in every worker")
+    p.add_argument("--retention-check", action="store_true",
+                   help="also run single-process on the same questions and "
+                        "report per-worker throughput retention "
+                        "(BASELINE.md: >=90%% per-chip retention at 2 "
+                        "hosts; on N real hosts each worker owns a chip — "
+                        "run one worker per host)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -141,21 +147,46 @@ def main(argv: Optional[List[str]] = None):
         print(json.dumps(stats))
         return
 
+    single_stats = None
+    if args.retention_check:
+        single_stats = run_worker(argparse.Namespace(
+            **{**vars(args), "worker_id": 0, "num_workers": 1,
+               "out": args.out + ".single"}))
+        os.remove(args.out + ".single")
+
     procs = []
     for i in range(args.num_workers):
         cmd = [sys.executable, "-m", "samd_tpu.evaluation.launch",
                "--worker-id", str(i)]
         for k, v in vars(args).items():
-            if k in ("worker_id",) or v in (None, False):
+            if k in ("worker_id", "retention_check") or v in (None, False):
                 continue
             flag = "--" + k.replace("_", "-")
             cmd += [flag] if v is True else [flag, str(v)]
-        procs.append(subprocess.Popen(cmd))
-    rcs = [q.wait() for q in procs]
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE if args.retention_check else None,
+            text=True if args.retention_check else None))
+    outs = [q.communicate()[0] for q in procs]
+    rcs = [q.returncode for q in procs]
     if any(rcs):
         raise SystemExit(f"worker failures: rcs={rcs}")
     merge_shards(args.out, args.num_workers)
-    print(json.dumps({"merged": args.out, "workers": args.num_workers}))
+    report = {"merged": args.out, "workers": args.num_workers}
+    if args.retention_check:
+        # per-worker throughput vs the single-process run on the full set
+        worker_stats = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+        per_worker = [s["tokens_per_s"] for s in worker_stats]
+        base = single_stats["tokens_per_s"]
+        report.update({
+            "single_process_tokens_per_s": round(base, 2),
+            "per_worker_tokens_per_s": [round(t, 2) for t in per_worker],
+            "aggregate_tokens_per_s": round(sum(per_worker), 2),
+            # BASELINE.md target: each worker (one per host/chip) should
+            # retain >=90% of single-process throughput
+            "per_worker_retention": [round(t / base, 3) if base else 0.0
+                                     for t in per_worker],
+        })
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
