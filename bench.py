@@ -537,6 +537,38 @@ def main():
             "fused_sam_token_recycle_sources":
                 {"sam": int(hy_sam), "tree": int(hy_all - hy_sam)},
         })
+
+        # INT8 flagship hybrid: own int8 block-64 oracle + own corpus
+        # (same own-dtype methodology as the INT8 fused-sam section)
+        q_oracle64 = ArBaseline(cfg, qparams, max_cache_len=MAX_CACHE,
+                                eos_token_id=-1, prefill_buckets=(128,),
+                                block_size=M64)
+        q64_outs, *_ = timed_generate(q_oracle64, all_prompts, gen,
+                                      repeats=1)
+        q_corpus64 = []
+        for o in q64_outs[:N_PROMPTS]:
+            q_corpus64 += o + [0]
+        hq = FusedHybridEngine(
+            cfg, qparams, FusedHybridConfig(steps_per_call=256),
+            corpus=q_corpus64, max_cache_len=MAX_CACHE, eos_token_id=-1,
+            prefill_buckets=(128,))
+        hq.generate(warm_prompt, warm)
+        hq_outs, hq_tok, hq_steps, hq_dt = timed_generate(
+            hq, all_prompts, gen)
+        hq_tps = hq_tok / hq_dt
+        hq_equal = sum(int(a == b) for a, b in zip(q64_outs, hq_outs))
+        log(f"int8 fused SAM[token_recycle]: {hq_tps:.1f} tok/s, "
+            f"accept {hq_tok / max(hq_steps, 1):.2f}, equal {hq_equal}/4, "
+            f"{1000 * hq_dt / max(hq_steps, 1):.2f} ms/step")
+        detail.update({
+            "int8_fused_sam_token_recycle_tokens_per_s": round(hq_tps, 2),
+            "int8_fused_sam_token_recycle_mean_accept":
+                round(hq_tok / max(hq_steps, 1), 3),
+            "int8_fused_sam_token_recycle_equal_count":
+                f"{hq_equal}/{len(q64_outs)}",
+            "int8_fused_sam_token_recycle_ms_per_step":
+                round(1000 * hq_dt / max(hq_steps, 1), 3),
+        })
     except Exception:
         log("fused hybrid TR section FAILED:\n" + traceback.format_exc())
 
