@@ -146,6 +146,34 @@ def test_batched_fused_sam_matches_single(tiny_model):
         assert results[rid].decode_tokens == exp.decode_tokens
 
 
+def test_batched_fused_sam_quantized_matches_single(tiny_model):
+    """The peak-throughput serving config (INT8 + continuous batching,
+    bench.py): batched int8 outputs equal single-stream int8 outputs
+    (tiny config is fp32-exact, so the programs agree bitwise here)."""
+    from samd_tpu.fused_sam import BatchedFusedSamEngine
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = tiny_model
+    qparams = quantize_llama_params(params)
+    fscfg = FusedSamConfig(n_predicts=15, steps_per_call=6,
+                           corpus_capacity=256)
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 128, size=12).tolist() for _ in range(3)]
+
+    single = FusedSamEngine(cfg, qparams, fscfg, max_cache_len=256,
+                            eos_token_id=-1, prefill_buckets=(32,))
+    expected = [single.generate(p, gen) for p in prompts]
+
+    batched = BatchedFusedSamEngine(cfg, qparams, fscfg, batch_size=2,
+                                    max_cache_len=256, eos_token_id=-1,
+                                    prefill_buckets=(32,))
+    ids = [batched.add_request(p, gen) for p in prompts]
+    results = batched.run()
+    for rid, exp in zip(ids, expected):
+        assert results[rid].output_ids == exp.output_ids, f"request {rid}"
+
+
 def test_batched_fused_sam_with_corpus(tiny_model):
     from samd_tpu.fused_sam import BatchedFusedSamEngine
 
