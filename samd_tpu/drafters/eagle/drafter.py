@@ -158,7 +158,12 @@ class Eagle2Drafter:
         NEG = jnp.float32(-1e30)
 
         def head_logp(h):
-            logits = jnp.dot(h, self.head, preferred_element_type=jnp.float32)
+            # head may be a QuantizedTensor (weight-only int8/fp8 serving)
+            from ...ops.quant import QuantizedTensor
+            head = self.head
+            if isinstance(head, QuantizedTensor):
+                head = head.q.astype(h.dtype) * head.scale.astype(h.dtype)
+            logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
             return jax.nn.log_softmax(logits, axis=-1)
 
         @jax.jit

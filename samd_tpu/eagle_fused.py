@@ -57,7 +57,13 @@ def make_eagle_expand(*, net_cfg, embed, head, S: int, depth: int,
     NEG = jnp.float32(-1e30)
 
     def head_logp(h):
-        logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+        # head may be a QuantizedTensor (weight-only int8/fp8 serving)
+        from .ops.quant import QuantizedTensor
+        if isinstance(head, QuantizedTensor):
+            hd = head.q.astype(h.dtype) * head.scale.astype(h.dtype)
+        else:
+            hd = head
+        logits = jnp.dot(h, hd, preferred_element_type=jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1)
 
     def expand(net_params, ekv_k, ekv_v, stable_len, last_hidden,

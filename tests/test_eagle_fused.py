@@ -35,6 +35,24 @@ def test_fused_eagle2_equals_ar(tiny_model):
         assert out.decode_tokens == ref.decode_tokens
 
 
+def test_fused_eagle2_quantized_equals_quantized_ar(tiny_model):
+    """INT8 target weights: the EAGLE expansion's lm_head ranking must
+    consume the QuantizedTensor (pre-dequant form) and the engine stays
+    lossless vs the int8 AR baseline (tiny config is fp32-exact)."""
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = tiny_model
+    qparams = quantize_llama_params(params)
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    ar = ArBaseline(cfg, qparams, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,))
+    eng = FusedEagle2Engine(cfg, qparams, depth=3, topk=4, total_tokens=15,
+                            steps_per_call=6, max_cache_len=256,
+                            eos_token_id=-1, prefill_buckets=(32,))
+    p = np.random.default_rng(3).integers(3, 128, size=20).tolist()
+    assert eng.generate(p, gen).output_ids == ar.generate(p, gen).output_ids
+
+
 def test_fused_eagle2_matches_host_eagle2(tiny_model):
     """The fused engine and the host Eagle2 hybrid drafter share draft-net
     math; with the same net weights they should accept comparably.  We check
