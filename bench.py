@@ -152,6 +152,46 @@ def main():
         "greedy_outputs_equal": mismatches == 0,
     })
 
+    # --- interleaved host samd: N exact-automaton lanes, overlapped fetches -
+    # (the host engine's per-step blocking fetch costs ~1 RTT of idle device;
+    #  round-robined lanes overlap the round trips — samd_tpu/interleave.py)
+    try:
+        from samd_tpu.interleave import InterleavedSamdEngine
+        from samd_tpu.sam import SamCursor
+
+        inter = InterleavedSamdEngine(
+            cfg, params, samd_cfg,
+            lambda: make_drafter(samd_cfg, cfg.vocab_size,
+                                 static_sam=SamCursor(static_sam)),
+            lanes=4, max_cache_len=MAX_CACHE, eos_token_id=-1,
+            prefill_buckets=(128,))
+        inter.add_request(warm_prompt, warm)
+        inter.run()  # warmup/compile
+        il_best = None
+        for _ in range(2):
+            rids = [inter.add_request(p, gen) for p in all_prompts]
+            t0 = time.perf_counter()
+            il_res = inter.run()
+            il_dt = time.perf_counter() - t0
+            il_tok = sum(r.decode_tokens for r in il_res.values())
+            if il_best is None or il_dt < il_best[0]:
+                il_best = (il_dt, il_tok,
+                           [il_res[r].output_ids for r in rids])
+        il_dt, il_tok, il_outs = il_best
+        il_tps = il_tok / il_dt
+        il_equal = sum(int(a == b) for a, b in zip(oracle_outs, il_outs))
+        log(f"interleaved host samd (4 lanes): {il_tok} tokens in "
+            f"{il_dt:.2f}s = {il_tps:.1f} tok/s, equal {il_equal}/4")
+        detail.update({
+            "interleaved_host_samd_tokens_per_s": round(il_tps, 2),
+            "interleaved_host_samd_speedup": round(il_tps / ar_tps, 4),
+            "interleaved_host_samd_lanes": 4,
+            "interleaved_host_samd_outputs_equal":
+                il_equal == len(oracle_outs),
+        })
+    except Exception:
+        log("interleaved host section FAILED:\n" + traceback.format_exc())
+
     # --- SAM-Decoding[Token Recycle] host hybrid (reference scripts/
     #     inference_samd.sh: n_predicts=40 len_threshold=5 len_bias=5) -------
     tr_cfg = SamdConfig(draft_source="sam_hybrid", max_predicts=M,

@@ -455,10 +455,11 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
                  keys, samp_flags):
             tokens, tree_mask, depths, paths = jax.vmap(
                 lambda d: unpack_draft(d, D))(drafts)
-            S_logical = tables.shape[1] * page
+            from .ops.paged_attention import boundary_mask_window
+
             mask = jax.vmap(
-                lambda tm, cl: block_decode_mask(tm, cl, S_logical)[0]
-            )(tree_mask, cache_lens)                        # [B, M, S_l]
+                lambda tm, cl: boundary_mask_window(tm, cl, page)
+            )(tree_mask, cache_lens)                        # [B, M, W·page]
             pos = depths + cache_lens[:, None]
             logits, _, pool_k, pool_v = paged_forward(
                 params, cfg, tokens, pos, pool_k, pool_v, tables,

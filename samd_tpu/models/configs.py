@@ -33,6 +33,11 @@ class ModelConfig:
     #   "flash"           – Pallas flash kernel streaming only live KV blocks
     #   "flash_interpret" – same kernel in interpreter mode (CPU tests)
     attention_impl: str = "xla"
+    # KV block size streamed by the flash kernel: the dead-tail skip
+    # granularity (attention reads ceil(live/block)·block columns).  Smaller
+    # blocks help short-prefix decode (live ≪ S); 512 amortizes DMA better
+    # when most of the cache is live.
+    flash_block_s: int = 512
     # KV-cache layout:
     #   "sd" – [L, B, KH, S, D] (sequence-major; default)
     #   "ds" – [L, B, KH, D, S] (transposed: the flash kernel's native

@@ -198,6 +198,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
             ctx = flash_block_attention(
                 q, k_cache, v_cache, attn_mask, write_offset + T,
+                block_s=getattr(cfg, "flash_block_s", 512),
                 pre_transposed=ds_layout,
                 interpret=cfg.attention_impl == "flash_interpret")
         else:

@@ -40,29 +40,37 @@ def _round_up(x: int, m: int) -> int:
 def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
                   mask_hbm, out_ref, *, page: int, scale: float, T: int):
     """One (slot, kv-head).  q_ref/out_ref: [1, 1, R, D] VMEM; k/v_pool:
-    [n_pages, KH, D, page] HBM; mask_hbm: [B, Tp, S_logical] HBM int8;
+    [n_pages, KH, D, page] HBM; mask_hbm: [B, Tp, W] HBM int8 — the
+    *boundary window*: the mask for logical columns
+    [⌊hist/page⌋·page, +W) only, where hist = kv_limit - T.  Pages fully
+    below hist are committed prefix — every query row attends them, no mask
+    bytes needed (this is most pages, and why the window replaces the old
+    per-page [Tp, page] mask DMA of a full [B, Tp, S_logical] mask).
     kv_limits_ref: [B] SMEM; tables_ref: [B, P] SMEM."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     _, _, R, D = q_ref.shape
     kv_limit = kv_limits_ref[b]
     num_pages = pl.cdiv(kv_limit, page)
+    # first page touching uncommitted columns; window column 0 = w0p * page
+    w0p = (kv_limit - T) // page
 
     def body(k_buf, v_buf, m_buf, sem_k, sem_v, sem_m, acc, m_i, l_i):
         q = q_ref[0, 0].astype(jnp.float32)                # [R, D]
+
+        # one window DMA per program (not per page)
+        mask_cp = pltpu.make_async_copy(mask_hbm.at[b], m_buf, sem_m)
+        mask_cp.start()
 
         def get_copies(j, slot):
             # clamp: released slots carry -1 page ids; their rows are
             # discarded by the host, but the DMA address must stay valid
             p = jnp.maximum(tables_ref[b, j], 0)
-            off = pl.multiple_of(j * page, page)
             return (
                 pltpu.make_async_copy(k_pool.at[p, h],
                                       k_buf.at[slot], sem_k.at[slot]),
                 pltpu.make_async_copy(v_pool.at[p, h],
                                       v_buf.at[slot], sem_v.at[slot]),
-                pltpu.make_async_copy(mask_hbm.at[b, :, pl.ds(off, page)],
-                                      m_buf.at[slot], sem_m.at[slot]),
             )
 
         for c in get_copies(0, 0):
@@ -71,6 +79,7 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
         acc[:] = jnp.zeros_like(acc)
         m_i[:] = jnp.full_like(m_i, NEG_INF)
         l_i[:] = jnp.zeros_like(l_i)
+        mask_cp.wait()
 
         def loop(j, _):
             slot = j % 2
@@ -86,7 +95,11 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
             kT = k_buf[slot].astype(jnp.float32)           # [D, page]
             vT = v_buf[slot].astype(jnp.float32)
             G = R // T
-            mask_t = m_buf[slot][:T, :] != 0               # [T, page]
+            # committed pages (j < w0p): all rows attend; boundary pages:
+            # window slice (j - w0p) carries the prefix/tree predicate
+            rel = j - w0p
+            off = jnp.maximum(rel, 0) * page
+            mask_t = (m_buf[:T, pl.ds(off, page)] != 0) | (rel < 0)
             mask_r = jnp.broadcast_to(mask_t[None], (G, T, page)
                                       ).reshape(R, page)
             s = jax.lax.dot_general(
@@ -108,25 +121,50 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
                          ).astype(out_ref.dtype)
 
     D = q_ref.shape[-1]
-    Tp = mask_hbm.shape[1]
+    Tp, W = mask_hbm.shape[1], mask_hbm.shape[2]
     R = q_ref.shape[2]
     pl.run_scoped(
         body,
         k_buf=pltpu.VMEM((2, D, page), k_pool.dtype),
         v_buf=pltpu.VMEM((2, D, page), v_pool.dtype),
-        m_buf=pltpu.VMEM((2, Tp, page), jnp.int8),
+        m_buf=pltpu.VMEM((Tp, W), jnp.int8),
         sem_k=pltpu.SemaphoreType.DMA((2,)),
         sem_v=pltpu.SemaphoreType.DMA((2,)),
-        sem_m=pltpu.SemaphoreType.DMA((2,)),
+        sem_m=pltpu.SemaphoreType.DMA(()),
         acc=pltpu.VMEM((R, D), jnp.float32),
         m_i=pltpu.VMEM((R, 1), jnp.float32),
         l_i=pltpu.VMEM((R, 1), jnp.float32),
     )
 
 
+def window_pages(T: int, page: int) -> int:
+    """Number of pages a boundary mask window must cover: the draft block
+    [hist, hist+T) spans at most cdiv(T, page) + 1 pages of the pool."""
+    return -(-T // page) + 1
+
+
+def boundary_mask_window(tree_mask: jax.Array, cache_len: jax.Array,
+                         page: int) -> jax.Array:
+    """Mask for the boundary pages only: logical columns
+    [⌊cache_len/page⌋·page, +W·page) of a draft block written at
+    ``cache_len`` — committed prefix columns allowed for every row, in-block
+    columns per the [T, T] tree mask.  Replaces materializing the full
+    [T, S_logical] mask (the committed pages below the window need no mask
+    at all; the kernel treats them as all-allowed).  Returns [T, W·page]."""
+    T = tree_mask.shape[0]
+    W = window_pages(T, page) * page
+    c = (cache_len // page) * page + jnp.arange(W)          # [W] logical cols
+    prefix = c < cache_len
+    rel = jnp.clip(c - cache_len, 0, T - 1)
+    in_block = (c >= cache_len) & (c < cache_len + T)
+    tm = jnp.take_along_axis(tree_mask,
+                             jnp.broadcast_to(rel[None], (T, W)), axis=1)
+    return prefix[None, :] | (in_block[None, :] & tm)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
-                          tables: jax.Array, mask: jax.Array,
+                          tables: jax.Array, mask_win: jax.Array,
                           kv_limits: jax.Array, *,
                           interpret: bool = False) -> jax.Array:
     """Batched paged attention over one layer's page pool.
@@ -134,19 +172,24 @@ def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     q:         [B, T, NH, D]
     k/v_pool:  [n_pages, KH, D, page] (one layer, transposed page layout)
     tables:    [B, P] int32 page ids (-1 padded beyond the live pages)
-    mask:      [B, T, S_logical] bool, S_logical = P * page
-    kv_limits: [B] int32 — attend to logical columns < kv_limits[b]
+    mask_win:  [B, T, W·page] bool — per-slot boundary window from
+               ``boundary_mask_window`` (W = window_pages(T, page));
+               committed pages below the window are implicitly all-allowed
+    kv_limits: [B] int32 — attend to logical columns < kv_limits[b];
+               MUST equal the slot's committed length + T (the kernel
+               derives the window origin as (kv_limit - T) // page)
     Returns [B, T, NH*D]."""
     B, T, NH, D = q.shape
     _, KH, _, page = k_pool.shape
     G = NH // KH
     R = G * T
+    assert mask_win.shape[-1] == window_pages(T, page) * page, mask_win.shape
     # [B, KH, R, D] query rows (row r = g*T + t)
     qh = q.transpose(0, 2, 1, 3).reshape(B, KH, G, T, D).reshape(B, KH, R, D)
     Tp = _round_up(T, 32)
-    S_logical = mask.shape[-1]
-    mask8 = jnp.zeros((B, Tp, S_logical), jnp.int8)
-    mask8 = mask8.at[:, :T].set(mask.astype(jnp.int8))
+    W = mask_win.shape[-1]
+    mask8 = jnp.zeros((B, Tp, W), jnp.int8)
+    mask8 = mask8.at[:, :T].set(mask_win.astype(jnp.int8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # kv_limits, tables

@@ -110,10 +110,14 @@ def paged_forward(params, cfg: ModelConfig, tokens, position_ids,
     replaces is gather_request + scatter_block).
 
     tokens/position_ids: [B, T]; pool_k/v: [L, n_pages, KH, D, page];
-    tables: [B, P]; write_offsets/kv_limits: [B]; attn_mask:
-    [B, T, P*page] bool over logical columns; scratch_page: reserved page
-    index absorbing writes of released/inactive slots (-1 table entries) —
-    cheaper than a full-pool select per slot.
+    tables: [B, P]; write_offsets/kv_limits: [B] (kv_limits must be
+    write_offsets + T — the kernel derives each slot's boundary-window
+    origin from it); attn_mask: [B, T, W·page] bool boundary windows from
+    ops.paged_attention.boundary_mask_window (committed pages below the
+    window are implicitly all-allowed — no full [T, P·page] mask is ever
+    materialized); scratch_page: reserved page index absorbing writes of
+    released/inactive slots (-1 table entries) — cheaper than a full-pool
+    select per slot.
     Returns (logits, hidden, pool_k, pool_v)."""
     from .models.llama import apply_rope, rms_norm, rope_tables
     from .ops.paged_attention import paged_block_attention, scatter_block_t

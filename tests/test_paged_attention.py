@@ -46,7 +46,8 @@ def _random_pool_and_dense(rng, cfg, B, n_pages, pages_per_req, live):
 
 
 def test_paged_kernel_matches_dense_attention():
-    from samd_tpu.ops.paged_attention import paged_block_attention
+    from samd_tpu.ops.paged_attention import (boundary_mask_window,
+                                              paged_block_attention)
 
     cfg = tiny_config(vocab_size=64)
     rng = np.random.default_rng(0)
@@ -60,19 +61,47 @@ def test_paged_kernel_matches_dense_attention():
     q = jnp.asarray(rng.normal(size=(B, T, NH, D)), jnp.float32)
     S_logical = pages_per_req * PAGE
     masks = []
+    windows = []
     tri = jnp.tril(jnp.ones((T, T), bool))
     for b in range(B):
         cl = live[b] - T
         masks.append(block_decode_mask(tri, jnp.int32(cl), S_logical)[0])
+        windows.append(boundary_mask_window(tri, jnp.int32(cl), PAGE))
     mask = jnp.stack(masks)
     kv_limits = jnp.asarray(live, jnp.int32)
 
-    out = paged_block_attention(q, pool_k, pool_v, tables, mask, kv_limits,
+    out = paged_block_attention(q, pool_k, pool_v, tables,
+                                jnp.stack(windows), kv_limits,
                                 interpret=True)
     ref = _attention(q, jnp.asarray(dense_k), jnp.asarray(dense_v), mask,
                      cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("cache_len", [0, 5, 15, 16, 17, 31, 48])
+def test_boundary_mask_window_matches_full_mask(cache_len):
+    """Window == the corresponding column slice of the full logical mask
+    (including page-aligned cache lengths and tree masks)."""
+    from samd_tpu.ops.paged_attention import (boundary_mask_window,
+                                              window_pages)
+
+    T = 8
+    rng = np.random.default_rng(cache_len)
+    tree = np.tril(np.ones((T, T), bool))
+    tree &= rng.random((T, T)) < 0.8
+    np.fill_diagonal(tree, True)
+    tree = jnp.asarray(tree)
+    S_logical = 80
+    full = np.asarray(block_decode_mask(tree, jnp.int32(cache_len),
+                                        S_logical)[0])
+    win = np.asarray(boundary_mask_window(tree, jnp.int32(cache_len), PAGE))
+    w0 = (cache_len // PAGE) * PAGE
+    W = window_pages(T, PAGE) * PAGE
+    np.testing.assert_array_equal(win[:, :min(W, S_logical - w0)],
+                                  full[:, w0:w0 + W])
+    # pages fully below the window origin are all-allowed (kernel contract)
+    assert full[:, :w0].all()
 
 
 def test_scatter_block_t_roundtrip():
@@ -159,9 +188,14 @@ def test_paged_forward_matches_dense_forward():
             pv[:, p] = dv[:, b, :, j * PAGE:(j + 1) * PAGE].transpose(
                 0, 1, 3, 2)
 
+    from samd_tpu.ops.paged_attention import boundary_mask_window
+
+    mask_win = jnp.stack([
+        boundary_mask_window(tri, jnp.int32(prompt_lens[b]), PAGE)
+        for b in range(B)])
     logits, _, _, _ = paged_forward(
         params, cfg, jnp.asarray(blocks, jnp.int32), pos,
         jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(tables), offsets,
-        mask, offsets + T, n_pages - 1, interpret=True)
+        mask_win, offsets + T, n_pages - 1, interpret=True)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=5e-4, atol=5e-4)
