@@ -609,6 +609,33 @@ def main():
             "int8_fused_sam_token_recycle_ms_per_step":
                 round(1000 * hq_dt / max(hq_steps, 1), 3),
         })
+
+        # INT8 fused EAGLE-2: fully-quantized expansion — draft net AND
+        # lm_head stream 1-byte weights depth× per step
+        from samd_tpu.drafters.eagle.net import (EagleNetConfig,
+                                                 init_eagle_params)
+        from samd_tpu.eagle_fused import FusedEagle2Engine as _FE2
+        from samd_tpu.ops.quant import quantize_eagle_params
+
+        qnet = quantize_eagle_params(init_eagle_params(
+            EagleNetConfig.from_target(cfg), jax.random.PRNGKey(7)))
+        egq = _FE2(cfg, qparams, net_params=qnet, max_cache_len=MAX_CACHE,
+                   eos_token_id=-1, prefill_buckets=(128,))
+        log("int8 fused EAGLE-2 warmup/compile...")
+        egq.generate(warm_prompt, warm)
+        eq_outs, eq_tok, eq_steps, eq_dt = timed_generate(
+            egq, all_prompts, gen)
+        eq_tps = eq_tok / eq_dt
+        eq_equal = sum(int(a == b) for a, b in zip(q64_outs, eq_outs))
+        log(f"int8 fused EAGLE-2 (quantized net+head): {eq_tps:.1f} tok/s, "
+            f"accept {eq_tok / max(eq_steps, 1):.2f}, equal {eq_equal}/4, "
+            f"{1000 * eq_dt / max(eq_steps, 1):.2f} ms/step")
+        detail.update({
+            "int8_fused_eagle2_tokens_per_s": round(eq_tps, 2),
+            "int8_fused_eagle2_ms_per_step":
+                round(1000 * eq_dt / max(eq_steps, 1), 3),
+            "int8_fused_eagle2_equal_count": f"{eq_equal}/{len(q64_outs)}",
+        })
     except Exception:
         log("fused hybrid TR section FAILED:\n" + traceback.format_exc())
 

@@ -49,14 +49,28 @@ def build_engine(args):
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         eos = tokenizer.eos_token_id
 
+    qdtype = None
     if args.quantize != "none":
         import jax.numpy as jnp
 
         from .ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(
-            params, dtype=jnp.int8 if args.quantize == "int8"
-            else jnp.float8_e4m3fn)
+        qdtype = jnp.int8 if args.quantize == "int8" else jnp.float8_e4m3fn
+        params = quantize_llama_params(params, dtype=qdtype)
+
+    def quantized_net():
+        """EAGLE draft net matching the engines' default init, quantized to
+        the serving dtype so the expansion loop streams 1-byte weights."""
+        if qdtype is None:
+            return None
+        import jax
+
+        from .drafters.eagle.net import EagleNetConfig, init_eagle_params
+        from .ops.quant import quantize_eagle_params
+
+        net = init_eagle_params(EagleNetConfig.from_target(cfg),
+                                jax.random.PRNGKey(7))
+        return quantize_eagle_params(net, dtype=qdtype)
 
     if args.engine == "fused_sam":
         from .fused_sam import FusedSamEngine
@@ -94,12 +108,14 @@ def build_engine(args):
         engine = FusedHybridEagleEngine(cfg, params,
                                         FusedHybridEagleConfig(),
                                         corpus=corpus,
+                                        net_params=quantized_net(),
                                         max_cache_len=args.max_cache_len,
                                         eos_token_id=eos)
     elif args.engine == "eagle2":
         from .eagle_fused import FusedEagle2Engine
 
         engine = FusedEagle2Engine(cfg, params,
+                                   net_params=quantized_net(),
                                    max_cache_len=args.max_cache_len,
                                    eos_token_id=eos)
     else:

@@ -88,27 +88,31 @@ def eagle_forward(params: Dict, cfg: EagleNetConfig, embeds: jax.Array,
     embeds/prev_hidden: [B, T, H]; position_ids: [B, T];
     kv: [B, KH, S, D]; attn_mask: [B, T, S].  Returns (hidden [B, T, H],
     kv_k, kv_v)."""
+    from ...ops.quant import qmatmul
+
     B, T, H = embeds.shape
     NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.concatenate([embeds.astype(cfg.dtype),
                          prev_hidden.astype(cfg.dtype)], axis=-1)
-    h = x @ params["fc_w"] + params["fc_b"]
+    h = qmatmul(x, params["fc_w"]) + params["fc_b"]
     # EAGLE: no input layernorm before the first (only) attention block
     cos, sin = rope_tables(position_ids, D, cfg.rope_theta)
-    q = (h @ params["wq"]).reshape(B, T, NH, D)
-    k = (h @ params["wk"]).reshape(B, T, KH, D)
-    v = (h @ params["wv"]).reshape(B, T, KH, D)
+    q = qmatmul(h, params["wq"]).reshape(B, T, NH, D)
+    k = qmatmul(h, params["wk"]).reshape(B, T, KH, D)
+    v = qmatmul(h, params["wv"]).reshape(B, T, KH, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     kv_k = jax.lax.dynamic_update_slice(
         kv_k, k.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
     kv_v = jax.lax.dynamic_update_slice(
         kv_v, v.transpose(0, 2, 1, 3), (0, 0, write_offset, 0))
-    attn_out = _attention(q, kv_k, kv_v, attn_mask, cfg) @ params["wo"]
+    attn_out = qmatmul(_attention(q, kv_k, kv_v, attn_mask, cfg),
+                       params["wo"])
     h = h + attn_out
     xm = rms_norm(h, params["mlp_norm"], cfg.rms_eps)
-    gated = jax.nn.silu(xm @ params["w_gate"]) * (xm @ params["w_up"])
-    h = h + gated @ params["w_down"]
+    gated = jax.nn.silu(qmatmul(xm, params["w_gate"])) \
+        * qmatmul(xm, params["w_up"])
+    h = h + qmatmul(gated, params["w_down"])
     return h, kv_k, kv_v
 
 

@@ -38,17 +38,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
-                  mask_hbm, out_ref, *, page: int, scale: float, T: int):
-    """One (slot, kv-head).  q_ref/out_ref: [1, 1, R, D] VMEM; k/v_pool:
+                  mask_hbm, out_ref, *, page: int, scale: float, T: int,
+                  KH: int):
+    """One slot, ALL kv-heads.  q_ref/out_ref: [1, KH, R, D] VMEM; k/v_pool:
     [n_pages, KH, D, page] HBM; mask_hbm: [B, Tp, W] HBM int8 — the
     *boundary window*: the mask for logical columns
     [⌊hist/page⌋·page, +W) only, where hist = kv_limit - T.  Pages fully
     below hist are committed prefix — every query row attends them, no mask
     bytes needed (this is most pages, and why the window replaces the old
     per-page [Tp, page] mask DMA of a full [B, Tp, S_logical] mask).
-    kv_limits_ref: [B] SMEM; tables_ref: [B, P] SMEM."""
+    kv_limits_ref: [B] SMEM; tables_ref: [B, P] SMEM.
+
+    The head loop lives INSIDE the program (one flattened (head, page)
+    fori_loop with double-buffered DMA across head boundaries): at serving
+    shapes each (slot, head) does only a few small DMAs, so per-program
+    fixed cost dominates a (B, KH) grid — folding KH cuts program count 4×
+    and shares the single mask-window DMA across heads."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
     _, _, R, D = q_ref.shape
     kv_limit = kv_limits_ref[b]
     num_pages = pl.cdiv(kv_limit, page)
@@ -56,15 +62,15 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
     w0p = (kv_limit - T) // page
 
     def body(k_buf, v_buf, m_buf, sem_k, sem_v, sem_m, acc, m_i, l_i):
-        q = q_ref[0, 0].astype(jnp.float32)                # [R, D]
-
-        # one window DMA per program (not per page)
+        # one window DMA per program (not per page, not per head)
         mask_cp = pltpu.make_async_copy(mask_hbm.at[b], m_buf, sem_m)
         mask_cp.start()
 
-        def get_copies(j, slot):
+        def get_copies(idx, slot):
             # clamp: released slots carry -1 page ids; their rows are
             # discarded by the host, but the DMA address must stay valid
+            h = idx // num_pages
+            j = idx - h * num_pages
             p = jnp.maximum(tables_ref[b, j], 0)
             return (
                 pltpu.make_async_copy(k_pool.at[p, h],
@@ -75,23 +81,29 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
 
         for c in get_copies(0, 0):
             c.start()
-
-        acc[:] = jnp.zeros_like(acc)
-        m_i[:] = jnp.full_like(m_i, NEG_INF)
-        l_i[:] = jnp.zeros_like(l_i)
         mask_cp.wait()
+        total = KH * num_pages
 
-        def loop(j, _):
-            slot = j % 2
+        def loop(idx, _):
+            slot = idx % 2
+            h = idx // num_pages
+            j = idx - h * num_pages
 
-            @pl.when(j + 1 < num_pages)
+            @pl.when(j == 0)
             def _():
-                for c in get_copies(j + 1, (j + 1) % 2):
+                acc[:] = jnp.zeros_like(acc)
+                m_i[:] = jnp.full_like(m_i, NEG_INF)
+                l_i[:] = jnp.zeros_like(l_i)
+
+            @pl.when(idx + 1 < total)
+            def _():
+                for c in get_copies(idx + 1, (idx + 1) % 2):
                     c.start()
 
-            for c in get_copies(j, slot):
+            for c in get_copies(idx, slot):
                 c.wait()
 
+            q = q_ref[0, h].astype(jnp.float32)            # [R, D]
             kT = k_buf[slot].astype(jnp.float32)           # [D, page]
             vT = v_buf[slot].astype(jnp.float32)
             G = R // T
@@ -114,11 +126,15 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
                 p, vT, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m_i[:] = m_new
+
+            @pl.when(j == num_pages - 1)
+            def _():
+                out_ref[0, h] = (acc[:] / jnp.maximum(l_i[:], 1e-30)
+                                 ).astype(out_ref.dtype)
+
             return 0
 
-        jax.lax.fori_loop(0, num_pages, loop, 0)
-        out_ref[0, 0] = (acc[:] / jnp.maximum(l_i[:], 1e-30)
-                         ).astype(out_ref.dtype)
+        jax.lax.fori_loop(0, total, loop, 0)
 
     D = q_ref.shape[-1]
     Tp, W = mask_hbm.shape[1], mask_hbm.shape[2]
@@ -193,22 +209,23 @@ def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # kv_limits, tables
-        grid=(B, KH),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, R, D), lambda b, h, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, KH, R, D), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, 1, R, D), lambda b, h, *_: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, KH, R, D), lambda b, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     def kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref, mask_ref,
                out_ref):
         _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref,
-                      mask_ref, out_ref, page=page, scale=D ** -0.5, T=T)
+                      mask_ref, out_ref, page=page, scale=D ** -0.5, T=T,
+                      KH=KH)
 
     out = pl.pallas_call(
         kernel,

@@ -81,6 +81,16 @@ def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
     return x @ w
 
 
+def dequant(w: Union[jax.Array, QuantizedTensor], dtype) -> jax.Array:
+    """Pre-dequant form for non-matmul consumers (expert einsums): returns
+    ``q · scale`` with the quantized contraction axis (-2) re-expanded, so
+    XLA fuses the cast+scale into the consuming contraction's weight-operand
+    load exactly as qmatmul's form does.  Plain arrays pass through."""
+    if isinstance(w, QuantizedTensor):
+        return w.q.astype(dtype) * w.scale[..., None, :].astype(dtype)
+    return w
+
+
 def quantize_llama_params(params: dict, *, dtype=jnp.int8) -> dict:
     """Quantize the large projection matrices of a samd_tpu Llama param
     pytree (embed and norms stay high precision).  Works on scan-stacked
@@ -88,12 +98,26 @@ def quantize_llama_params(params: dict, *, dtype=jnp.int8) -> dict:
     ``dtype=jnp.float8_e4m3fn`` selects fp8 weight-only."""
     out = dict(params)
     layers = dict(params["layers"])
+    # MoE expert stacks [L, E, in, out] quantize along the same -2
+    # contraction axis (scales [L, E, out]); router and biases stay high
+    # precision like the norms.
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
         layers[name] = quantize_weight(layers[name], axis=-2, dtype=dtype)
     out["layers"] = layers
     if "lm_head" in params:
         out["lm_head"] = quantize_weight(params["lm_head"], axis=-2,
                                          dtype=dtype)
+    return out
+
+
+def quantize_eagle_params(params: dict, *, dtype=jnp.int8) -> dict:
+    """Quantize an EAGLE draft-net param dict (drafters.eagle.net): the
+    expansion loop runs the net ``depth`` times per decode step, so its
+    weight streaming is paid depth-fold — halving it matters as much as the
+    target model's.  fc_b and mlp_norm stay high precision."""
+    out = dict(params)
+    for name in ("fc_w", "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        out[name] = quantize_weight(params[name], axis=-2, dtype=dtype)
     return out
 
 

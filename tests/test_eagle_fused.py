@@ -53,6 +53,29 @@ def test_fused_eagle2_quantized_equals_quantized_ar(tiny_model):
     assert eng.generate(p, gen).output_ids == ar.generate(p, gen).output_ids
 
 
+def test_fused_eagle2_quantized_net_lossless(tiny_model):
+    """Fully-quantized expansion (int8 draft net AND target): drafter weight
+    quality never affects greedy losslessness — outputs must equal the int8
+    AR baseline's exactly (fp32-exact tiny config)."""
+    from samd_tpu.drafters.eagle.net import EagleNetConfig, init_eagle_params
+    from samd_tpu.ops.quant import quantize_eagle_params, \
+        quantize_llama_params
+
+    cfg, params = tiny_model
+    qparams = quantize_llama_params(params)
+    qnet = quantize_eagle_params(init_eagle_params(
+        EagleNetConfig.from_target(cfg), jax.random.PRNGKey(7)))
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    ar = ArBaseline(cfg, qparams, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,))
+    eng = FusedEagle2Engine(cfg, qparams, net_params=qnet, depth=3, topk=4,
+                            total_tokens=15, steps_per_call=6,
+                            max_cache_len=256, eos_token_id=-1,
+                            prefill_buckets=(32,))
+    p = np.random.default_rng(5).integers(3, 128, size=20).tolist()
+    assert eng.generate(p, gen).output_ids == ar.generate(p, gen).output_ids
+
+
 def test_fused_eagle2_matches_host_eagle2(tiny_model):
     """The fused engine and the host Eagle2 hybrid drafter share draft-net
     math; with the same net weights they should accept comparably.  We check
