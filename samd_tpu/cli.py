@@ -32,9 +32,24 @@ def build_engine(args):
 
     if args.random_model:
         if args.tiny:
-            from .models import tiny_config
+            from .models import (tiny_config, tiny_moe_config,
+                                 tiny_qwen2_config)
 
-            cfg = tiny_config(vocab_size=256)
+            cfg = {"llama": tiny_config,
+                   "qwen2": tiny_qwen2_config,
+                   "moe": tiny_moe_config}[args.family](vocab_size=256)
+        elif args.family == "qwen2":
+            from dataclasses import replace
+
+            # 1B-class Qwen2-family shape (qkv biases, 1e6 rope)
+            cfg = replace(llama_1b(), attn_bias=True, rope_theta=1e6)
+        elif args.family == "moe":
+            from dataclasses import replace
+
+            # 8 experts at half the trunk's FFN width (~4.4B MLP params
+            # would blow the single chip's HBM at full width)
+            cfg = replace(llama_1b(), intermediate_size=2816,
+                          num_experts=8, num_experts_per_tok=2)
         else:
             cfg = llama_1b()
         params = init_params(cfg, jax.random.PRNGKey(0))
@@ -147,6 +162,10 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--max-cache-len", type=int, default=2048)
     p.add_argument("--random-model", action="store_true")
+    p.add_argument("--family", default="llama",
+                   choices=("llama", "qwen2", "moe"),
+                   help="with --random-model: model family (real "
+                        "checkpoints dispatch on config.json model_type)")
     p.add_argument("--tiny", action="store_true",
                    help="with --random-model: tiny config (CPU smoke tests)")
     p.add_argument("--cpu", action="store_true",

@@ -27,6 +27,15 @@ class ModelConfig:
     rms_eps: float = 1e-6
     max_position_embeddings: int = 4096
     tie_embeddings: bool = False
+    # Qwen2-family attention: q/k/v projections carry biases (HF Qwen2
+    # hardcodes qkv bias on, o_proj bias off — the reference serves Qwen2
+    # targets through its vendored modeling_qwen2_kv.py).
+    attn_bias: bool = False
+    # Mixtral-family MoE: >0 replaces the dense MLP with num_experts
+    # SwiGLU experts under top-(num_experts_per_tok) routing (reference
+    # vendored modeling_mixtral_kv.py).  0 = dense (Llama/Qwen2).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     dtype: jnp.dtype = jnp.bfloat16
     # attention implementation for decode/verify blocks:
     #   "xla"             – plain dot-product attention over the full cache
@@ -80,6 +89,26 @@ def llama_1b() -> ModelConfig:
     )
 
 
+def qwen2_7b() -> ModelConfig:
+    """Qwen2-7B-Instruct shape (reference's vendored Qwen2 target family)."""
+    return ModelConfig(
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+        rope_theta=1000000.0, rms_eps=1e-6, max_position_embeddings=32768,
+        attn_bias=True,
+    )
+
+
+def mixtral_8x7b() -> ModelConfig:
+    """Mixtral-8x7B shape (reference's vendored Mixtral target family)."""
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=1000000.0, rms_eps=1e-5, max_position_embeddings=32768,
+        num_experts=8, num_experts_per_tok=2,
+    )
+
+
 def tiny_config(vocab_size: int = 256, *, num_kv_heads: int = 2,
                 dtype=jnp.float32) -> ModelConfig:
     """Small config for unit tests (fast CPU compile, fp32 for exactness)."""
@@ -91,10 +120,27 @@ def tiny_config(vocab_size: int = 256, *, num_kv_heads: int = 2,
     )
 
 
+def tiny_qwen2_config(vocab_size: int = 256, *, dtype=jnp.float32
+                      ) -> ModelConfig:
+    """Qwen2-family tiny config (qkv biases) for tests."""
+    return replace(tiny_config(vocab_size, dtype=dtype), attn_bias=True,
+                   rope_theta=1000000.0)
+
+
+def tiny_moe_config(vocab_size: int = 256, *, num_experts: int = 4,
+                    dtype=jnp.float32) -> ModelConfig:
+    """Mixtral-family tiny config (top-2 of num_experts) for tests."""
+    return replace(tiny_config(vocab_size, dtype=dtype),
+                   num_experts=num_experts, num_experts_per_tok=2)
+
+
 def from_hf_config(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
-    """Build from a transformers LlamaConfig-like object."""
+    """Build from a transformers config object (Llama / Qwen2 / Mixtral
+    families — the targets the reference's vendored tree-mask modeling
+    files cover, SURVEY.md §2: modeling_llama/qwen2/mixtral_kv.py)."""
     head_dim = getattr(hf_config, "head_dim", None) or (
         hf_config.hidden_size // hf_config.num_attention_heads)
+    model_type = getattr(hf_config, "model_type", "llama")
     return ModelConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -108,5 +154,10 @@ def from_hf_config(hf_config, dtype=jnp.bfloat16) -> ModelConfig:
         rms_eps=hf_config.rms_norm_eps,
         max_position_embeddings=hf_config.max_position_embeddings,
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        attn_bias=(model_type == "qwen2"
+                   or getattr(hf_config, "attention_bias", False)),
+        num_experts=getattr(hf_config, "num_local_experts", 0)
+        if model_type == "mixtral" else 0,
+        num_experts_per_tok=getattr(hf_config, "num_experts_per_tok", 2),
         dtype=dtype,
     )

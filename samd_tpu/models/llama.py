@@ -37,13 +37,27 @@ Params = Dict[str, object]
 def init_params(cfg: ModelConfig, key: jax.Array, *, scale: float = 0.02) -> Params:
     """Random-normal initialized parameter pytree (benchmarks/tests; real
     checkpoints come from samd_tpu.models.loader)."""
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 13)
     L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
     NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def norm(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
 
+    E = cfg.num_experts
+    if E:
+        mlp = {
+            "router": norm(keys[9], (L, H, E)),
+            "w_gate": norm(keys[5], (L, E, H, I)),
+            "w_up": norm(keys[6], (L, E, H, I)),
+            "w_down": norm(keys[7], (L, E, I, H)),
+        }
+    else:
+        mlp = {
+            "w_gate": norm(keys[5], (L, H, I)),
+            "w_up": norm(keys[6], (L, H, I)),
+            "w_down": norm(keys[7], (L, I, H)),
+        }
     params: Params = {
         "embed": norm(keys[0], (cfg.vocab_size, H)),
         "layers": {
@@ -53,12 +67,14 @@ def init_params(cfg: ModelConfig, key: jax.Array, *, scale: float = 0.02) -> Par
             "wv": norm(keys[3], (L, H, KH * D)),
             "wo": norm(keys[4], (L, NH * D, H)),
             "mlp_norm": jnp.ones((L, H), cfg.dtype),
-            "w_gate": norm(keys[5], (L, H, I)),
-            "w_up": norm(keys[6], (L, H, I)),
-            "w_down": norm(keys[7], (L, I, H)),
+            **mlp,
         },
         "final_norm": jnp.ones((H,), cfg.dtype),
     }
+    if cfg.attn_bias:
+        params["layers"]["bq"] = norm(keys[10], (L, NH * D))
+        params["layers"]["bk"] = norm(keys[11], (L, KH * D))
+        params["layers"]["bv"] = norm(keys[12], (L, KH * D))
     if not cfg.tie_embeddings:
         params["lm_head"] = norm(keys[8], (H, cfg.vocab_size))
     return params
@@ -117,6 +133,37 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
                      probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, KH * G * D)
+
+
+def _moe_mlp(x: jax.Array, lp: Dict, cfg: ModelConfig) -> jax.Array:
+    """Mixtral-style sparse-MoE MLP with HF routing semantics (softmax over
+    all experts → top-k → renormalize; reference's vendored
+    modeling_mixtral_kv.py MixtralSparseMoeBlock) computed DENSELY over the
+    expert axis.
+
+    TPU-first rationale: decode/verify blocks are short (T ≤ M ≈ 64), so
+    with top-2-of-8 routing essentially every expert is selected by some
+    token — all expert weights must stream from HBM regardless, and the
+    step is memory-bound.  Token gather/scatter routing (the GPU pattern)
+    would introduce dynamic shapes XLA can't tile; one einsum over the
+    expert axis keeps the MXU busy, fuses the routing-weight multiply, and
+    lets GSPMD shard experts over an "ep" mesh axis (the weighted
+    combine's expert contraction becomes one psum over ep)."""
+    from ..ops.quant import dequant
+
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    router = jnp.einsum("bth,he->bte", x.astype(jnp.float32),
+                        lp["router"].astype(jnp.float32))
+    probs = jax.nn.softmax(router, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    wts = jnp.sum(jax.nn.one_hot(topi, E, dtype=jnp.float32)
+                  * topv[..., None], axis=-2)                      # [B,T,E]
+    g = jnp.einsum("bth,ehi->beti", x, dequant(lp["w_gate"], x.dtype))
+    u = jnp.einsum("bth,ehi->beti", x, dequant(lp["w_up"], x.dtype))
+    d = jnp.einsum("beti,eih->beth", jax.nn.silu(g) * u,
+                   dequant(lp["w_down"], x.dtype))
+    return jnp.einsum("beth,bte->bth", d, wts.astype(x.dtype))
 
 
 # ----------------------------------------------------------------------
@@ -182,9 +229,14 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = carry
         lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = qmatmul(x, lp["wq"]).reshape(B, T, NH, D)
-        k = qmatmul(x, lp["wk"]).reshape(B, T, KH, D)
-        v = qmatmul(x, lp["wv"]).reshape(B, T, KH, D)
+        if cfg.attn_bias:
+            q = (qmatmul(x, lp["wq"]) + lp["bq"]).reshape(B, T, NH, D)
+            k = (qmatmul(x, lp["wk"]) + lp["bk"]).reshape(B, T, KH, D)
+            v = (qmatmul(x, lp["wv"]) + lp["bv"]).reshape(B, T, KH, D)
+        else:
+            q = qmatmul(x, lp["wq"]).reshape(B, T, NH, D)
+            k = qmatmul(x, lp["wk"]).reshape(B, T, KH, D)
+            v = qmatmul(x, lp["wv"]).reshape(B, T, KH, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         k_cache = write_kv(k_cache, k.transpose(0, 2, 1, 3))
@@ -206,8 +258,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         attn_out = qmatmul(ctx, lp["wo"])
         h = h + attn_out
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(qmatmul(x, lp["w_gate"])) * qmatmul(x, lp["w_up"])
-        h = h + qmatmul(gated, lp["w_down"])
+        if cfg.num_experts:
+            h = h + _moe_mlp(x, lp, cfg)
+        else:
+            gated = jax.nn.silu(qmatmul(x, lp["w_gate"])) \
+                * qmatmul(x, lp["w_up"])
+            h = h + qmatmul(gated, lp["w_down"])
         return h, (k_cache, v_cache)
 
     h, (kv_k, kv_v) = jax.lax.scan(layer_step, h, (params["layers"], kv_k, kv_v))

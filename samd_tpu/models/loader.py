@@ -1,4 +1,5 @@
-"""Checkpoint loading: HF Llama weights → samd_tpu parameter pytree.
+"""Checkpoint loading: HF weights (Llama / Qwen2 / Mixtral families) →
+samd_tpu parameter pytree.
 
 Consumes either a transformers model directory (safetensors / pytorch .bin)
 or an in-memory state dict.  The reference loads targets with
@@ -55,9 +56,18 @@ def load_llama(model_dir: str, dtype=jnp.bfloat16) -> Tuple[ModelConfig, Params]
         dict(_iter_checkpoint_tensors(model_dir)), cfg)
 
 
+# `load_llama` predates the Qwen2/Mixtral families; it dispatches on the
+# checkpoint's config.json model_type, so it is the generic loader.
+load_model = load_llama
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> Params:
-    """Convert an HF Llama state dict (numpy arrays or torch tensors) into the
-    stacked-layer pytree of samd_tpu.models.llama.
+    """Convert an HF state dict (numpy arrays or torch tensors) into the
+    stacked-layer pytree of samd_tpu.models.llama.  Handles the three
+    target families the reference's vendored modeling files cover
+    (SURVEY.md §2: modeling_llama/qwen2/mixtral_kv.py): Qwen2 adds qkv
+    biases (cfg.attn_bias), Mixtral adds per-layer expert stacks + router
+    (cfg.num_experts).
 
     HF linear weights are [out, in]; ours are [in, out] (x @ W)."""
 
@@ -70,11 +80,15 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> Params:
     def linear(name):
         return get(name).T  # [in, out]
 
-    L = cfg.num_layers
+    L, E = cfg.num_layers, cfg.num_experts
     stacked = {
         "attn_norm": [], "wq": [], "wk": [], "wv": [], "wo": [],
         "mlp_norm": [], "w_gate": [], "w_up": [], "w_down": [],
     }
+    if cfg.attn_bias:
+        stacked.update({"bq": [], "bk": [], "bv": []})
+    if E:
+        stacked["router"] = []
     for i in range(L):
         p = f"model.layers.{i}."
         stacked["attn_norm"].append(get(p + "input_layernorm.weight"))
@@ -83,9 +97,24 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> Params:
         stacked["wv"].append(linear(p + "self_attn.v_proj.weight"))
         stacked["wo"].append(linear(p + "self_attn.o_proj.weight"))
         stacked["mlp_norm"].append(get(p + "post_attention_layernorm.weight"))
-        stacked["w_gate"].append(linear(p + "mlp.gate_proj.weight"))
-        stacked["w_up"].append(linear(p + "mlp.up_proj.weight"))
-        stacked["w_down"].append(linear(p + "mlp.down_proj.weight"))
+        if cfg.attn_bias:
+            stacked["bq"].append(get(p + "self_attn.q_proj.bias"))
+            stacked["bk"].append(get(p + "self_attn.k_proj.bias"))
+            stacked["bv"].append(get(p + "self_attn.v_proj.bias"))
+        if E:
+            # Mixtral: w1=gate [I,H], w3=up [I,H], w2=down [H,I] per expert
+            m = p + "block_sparse_moe."
+            stacked["router"].append(linear(m + "gate.weight"))
+            stacked["w_gate"].append(np.stack(
+                [linear(f"{m}experts.{e}.w1.weight") for e in range(E)]))
+            stacked["w_up"].append(np.stack(
+                [linear(f"{m}experts.{e}.w3.weight") for e in range(E)]))
+            stacked["w_down"].append(np.stack(
+                [linear(f"{m}experts.{e}.w2.weight") for e in range(E)]))
+        else:
+            stacked["w_gate"].append(linear(p + "mlp.gate_proj.weight"))
+            stacked["w_up"].append(linear(p + "mlp.up_proj.weight"))
+            stacked["w_down"].append(linear(p + "mlp.down_proj.weight"))
 
     params: Params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), cfg.dtype),

@@ -29,23 +29,28 @@ from ..models.configs import ModelConfig
 
 
 def make_mesh(num_devices: Optional[int] = None, *, dp: int = 1, pp: int = 1,
-              devices=None) -> Mesh:
-    """Mesh with axes ("dp", "pp", "tp") — pp/dp default to 1, so the common
-    tensor-parallel case is a (1, 1, tp) mesh."""
+              ep: int = 1, devices=None) -> Mesh:
+    """Mesh with axes ("dp", "pp", "ep", "tp") — dp/pp/ep default to 1, so
+    the common tensor-parallel case is a (1, 1, 1, tp) mesh.  "ep" shards
+    the MoE expert axis (Mixtral-family configs); dense-model specs simply
+    never name it, so it replicates."""
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    if n % (dp * pp) != 0:
-        raise ValueError(f"{n} devices not divisible by dp*pp={dp * pp}")
-    tp = n // (dp * pp)
-    return Mesh(np.asarray(devices).reshape(dp, pp, tp), ("dp", "pp", "tp"))
+    if n % (dp * pp * ep) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by dp*pp*ep={dp * pp * ep}")
+    tp = n // (dp * pp * ep)
+    return Mesh(np.asarray(devices).reshape(dp, pp, ep, tp),
+                ("dp", "pp", "ep", "tp"))
 
 
 def check_shardable(cfg: ModelConfig, mesh: Mesh) -> None:
     tp = mesh.shape["tp"]
     pp = mesh.shape.get("pp", 1)
+    ep = mesh.shape.get("ep", 1)
     for name, dim in [("num_kv_heads", cfg.num_kv_heads),
                       ("num_heads", cfg.num_heads),
                       ("intermediate_size", cfg.intermediate_size),
@@ -55,6 +60,9 @@ def check_shardable(cfg: ModelConfig, mesh: Mesh) -> None:
     if cfg.num_layers % pp != 0:
         raise ValueError(
             f"num_layers={cfg.num_layers} not divisible by pp={pp}")
+    if ep > 1 and cfg.num_experts % ep != 0:
+        raise ValueError(
+            f"num_experts={cfg.num_experts} not divisible by ep={ep}")
 
 
 def param_specs(cfg: ModelConfig) -> dict:
@@ -64,6 +72,22 @@ def param_specs(cfg: ModelConfig) -> dict:
     ``lax.scan`` each pipeline stage owns its contiguous layer block, the
     hidden state flowing stage-to-stage — the TPU-native analogue of the
     reference's HF ``device_map`` layer placement (SURVEY.md §2.5)."""
+    if cfg.num_experts:
+        # 2-D expert×tensor sharding: experts over "ep", each expert's
+        # SwiGLU megatron-split over "tp"; the weighted expert combine's
+        # e-contraction becomes one psum over ep (rides ICI).
+        mlp = {
+            "router": P("pp", None, None),
+            "w_gate": P("pp", "ep", None, "tp"),
+            "w_up": P("pp", "ep", None, "tp"),
+            "w_down": P("pp", "ep", "tp", None),
+        }
+    else:
+        mlp = {
+            "w_gate": P("pp", None, "tp"),
+            "w_up": P("pp", None, "tp"),
+            "w_down": P("pp", "tp", None),
+        }
     specs = {
         "embed": P("tp", None),
         "layers": {
@@ -73,12 +97,14 @@ def param_specs(cfg: ModelConfig) -> dict:
             "wv": P("pp", None, "tp"),
             "wo": P("pp", "tp", None),
             "mlp_norm": P("pp", None),
-            "w_gate": P("pp", None, "tp"),
-            "w_up": P("pp", None, "tp"),
-            "w_down": P("pp", "tp", None),
+            **mlp,
         },
         "final_norm": P(None),
     }
+    if cfg.attn_bias:
+        specs["layers"]["bq"] = P("pp", "tp")
+        specs["layers"]["bk"] = P("pp", "tp")
+        specs["layers"]["bv"] = P("pp", "tp")
     if not cfg.tie_embeddings:
         specs["lm_head"] = P(None, "tp")
     return specs

@@ -27,9 +27,11 @@ def shardable_config():
 def test_mesh_creation():
     assert len(jax.devices()) == 8
     mesh = make_mesh(8, dp=2)
-    assert dict(mesh.shape) == {"dp": 2, "pp": 1, "tp": 4}
+    assert dict(mesh.shape) == {"dp": 2, "pp": 1, "ep": 1, "tp": 4}
     mesh = make_mesh(8, dp=1, pp=2)
-    assert dict(mesh.shape) == {"dp": 1, "pp": 2, "tp": 4}
+    assert dict(mesh.shape) == {"dp": 1, "pp": 2, "ep": 1, "tp": 4}
+    mesh = make_mesh(8, ep=2)
+    assert dict(mesh.shape) == {"dp": 1, "pp": 1, "ep": 2, "tp": 4}
 
 
 def test_param_sharding_layout():
