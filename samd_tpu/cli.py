@@ -64,6 +64,15 @@ def build_engine(args):
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         eos = tokenizer.eos_token_id
 
+    if args.max_cache_len >= 2048 and not args.cpu:
+        # long-cache configs: the v2 flash kernel + native-transposed KV
+        # layout beat XLA's full-cache attention from S~2048 up (measured
+        # crossover, docs/PERFORMANCE.md "Kernel-level"); single-stream
+        # engines only — batched paths keep XLA (kernel is B=1-gated)
+        from dataclasses import replace
+
+        cfg = replace(cfg, attention_impl="flash", kv_layout="ds")
+
     qdtype = None
     if args.quantize != "none":
         import jax.numpy as jnp

@@ -41,6 +41,10 @@ class ModelConfig:
     #   "xla"             – plain dot-product attention over the full cache
     #   "flash"           – Pallas flash kernel streaming only live KV blocks
     #   "flash_interpret" – same kernel in interpreter mode (CPU tests)
+    # Measured guidance (docs/PERFORMANCE.md "Kernel-level"): kernel v2
+    # (head-folded grid + boundary-window mask) wins from S≈2048 up
+    # (5.27 vs 5.42 ms/step at S=2048; 10.8 vs 15.4 at S=8192, with
+    # kv_layout="ds"); XLA stays ~2% ahead at S=1024.
     attention_impl: str = "xla"
     # KV block size streamed by the flash kernel: the dead-tail skip
     # granularity (attention reads ceil(live/block)·block columns).  Smaller

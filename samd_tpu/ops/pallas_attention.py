@@ -8,15 +8,24 @@ streams only ``ceil(kv_limit / BLOCK)`` KV blocks (``kv_limit = cache_len +
 T``), double-buffering HBM→VMEM copies and accumulating with the online
 (flash) softmax.
 
+v2 (the paged kernel's launch-cost lessons, ops/paged_attention.py):
+  * Head-folded grid — ONE program per call with a flattened (head, block)
+    DMA loop inside, instead of grid=(KH,).  At decode shapes each head
+    streams only 1–4 blocks, so per-program fixed cost dominated the old
+    per-head grid (KH × layers program instances per step).
+  * Boundary-window mask — blocks fully below the committed length need no
+    mask bytes (every query row attends them); the kernel DMAs one
+    [Tp, 2·BLOCK] window covering the block boundary once per call, not a
+    [Tp, BLOCK] slice of the full [T, S] mask per (head, block).
+
 Layouts (chosen for Mosaic's tiling rules — memref slices must keep the lane
 dim 128-aligned, and head_dim is often 64):
   * KV are consumed transposed, ``[KH, D, S]`` — the sliced/streamed axis S
     is the lane dim, always block-aligned.  The wrapper transposes per call
-    (bytes ≈ one KV block read; negligible next to the traffic saved).
-  * The [T, S] prefix+tree mask is computed in-jit, cast to int8 (bool DMA is
-    unsupported) and padded to sublane multiple 32.
-  * Grid over KV heads; the per-head query block folds the G = NH/KH grouped
-    query heads into rows ([G*T, D]).
+    unless the cache is stored in the native "ds" layout
+    (``pre_transposed``).
+  * The mask window is cast to int8 (bool DMA is unsupported) and padded to
+    sublane multiple 32.
 
 Exactness: same f32 score/softmax math as the XLA path (tests compare both,
 interpret-mode on CPU and compiled on TPU)."""
@@ -38,53 +47,69 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
-            block_s: int, scale: float, T: int):
-    """One KV head.  q_ref/out_ref: [1, R, D] VMEM blocks; kT/vT_hbm: [D, S]
-    (transposed); mask_hbm: [Tp, S] int8 (Tp = T padded to 32).
+            block_s: int, scale: float, T: int, KH: int):
+    """One program, ALL kv-heads.  q_ref/out_ref: [KH, R, D] VMEM;
+    kT/vT_hbm: [KH, D, S] (transposed); mask_hbm: [Tp, 2·block_s] int8 —
+    the *boundary window*: mask for columns [⌊cache_len/block⌋·block, +2B)
+    only, where cache_len = kv_limit - T.  Blocks fully below the window
+    are committed prefix — every query row attends them.
     R = G*T; row r ↔ query t = r % T."""
     _, R, D = q_ref.shape
-    Tp = mask_hbm.shape[0]
-    S = kT_hbm.shape[1]
+    S = kT_hbm.shape[2]
     G = R // T
     kv_limit = kv_limit_ref[0]
     num_blocks = pl.cdiv(jnp.minimum(kv_limit, S), block_s)
+    # first block touching uncommitted columns; window col 0 = jw * block_s
+    jw = (kv_limit - T) // block_s
 
     def body(k_buf, v_buf, m_buf, sem_k, sem_v, sem_m, acc, m_i, l_i):
-        q = q_ref[0].astype(jnp.float32)                   # [R, D]
+        # one window DMA per program (not per block, not per head)
+        mask_cp = pltpu.make_async_copy(mask_hbm, m_buf, sem_m)
+        mask_cp.start()
 
-        def get_copies(j, slot):
+        def get_copies(idx, slot):
+            h = idx // num_blocks
+            j = idx - h * num_blocks
             off = pl.multiple_of(j * block_s, block_s)
             return (
-                pltpu.make_async_copy(kT_hbm.at[:, pl.ds(off, block_s)],
+                pltpu.make_async_copy(kT_hbm.at[h, :, pl.ds(off, block_s)],
                                       k_buf.at[slot], sem_k.at[slot]),
-                pltpu.make_async_copy(vT_hbm.at[:, pl.ds(off, block_s)],
+                pltpu.make_async_copy(vT_hbm.at[h, :, pl.ds(off, block_s)],
                                       v_buf.at[slot], sem_v.at[slot]),
-                pltpu.make_async_copy(mask_hbm.at[:, pl.ds(off, block_s)],
-                                      m_buf.at[slot], sem_m.at[slot]),
             )
 
         for c in get_copies(0, 0):
             c.start()
+        mask_cp.wait()
+        total = KH * num_blocks
 
-        acc[:] = jnp.zeros((R, D), jnp.float32)
-        m_i[:] = jnp.full((R, 1), NEG_INF, jnp.float32)
-        l_i[:] = jnp.zeros((R, 1), jnp.float32)
+        def loop(idx, _):
+            slot = idx % 2
+            h = idx // num_blocks
+            j = idx - h * num_blocks
 
-        def loop(j, _):
-            slot = j % 2
-
-            @pl.when(j + 1 < num_blocks)
+            @pl.when(j == 0)
             def _():
-                for c in get_copies(j + 1, (j + 1) % 2):
+                acc[:] = jnp.zeros_like(acc)
+                m_i[:] = jnp.full_like(m_i, NEG_INF)
+                l_i[:] = jnp.zeros_like(l_i)
+
+            @pl.when(idx + 1 < total)
+            def _():
+                for c in get_copies(idx + 1, (idx + 1) % 2):
                     c.start()
 
-            for c in get_copies(j, slot):
+            for c in get_copies(idx, slot):
                 c.wait()
 
+            q = q_ref[h].astype(jnp.float32)               # [R, D]
             kT = k_buf[slot].astype(jnp.float32)           # [D, BS]
-            vT = v_buf[slot].astype(jnp.float32)           # [D, BS]
-            mask_t = m_buf[slot][:T, :] != 0               # [T, BS]
-            # expand to grouped rows: row r = g*T + t
+            vT = v_buf[slot].astype(jnp.float32)
+            # committed blocks (j < jw): all rows attend; boundary blocks:
+            # window slice (j - jw) carries the prefix/tree/tail predicate
+            rel = j - jw
+            off = jnp.maximum(rel, 0) * block_s
+            mask_t = (m_buf[:T, pl.ds(off, block_s)] != 0) | (rel < 0)
             mask_r = jnp.broadcast_to(mask_t[None], (G, T, block_s)
                                       ).reshape(R, block_s)
             s = jax.lax.dot_general(
@@ -99,19 +124,25 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
                 p, vT, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [R, D]
             m_i[:] = m_new
+
+            @pl.when(j == num_blocks - 1)
+            def _():
+                out_ref[h] = (acc[:] / jnp.maximum(l_i[:], 1e-30)
+                              ).astype(out_ref.dtype)
+
             return 0
 
-        jax.lax.fori_loop(0, num_blocks, loop, 0)
-        out_ref[0] = (acc[:] / jnp.maximum(l_i[:], 1e-30)).astype(out_ref.dtype)
+        jax.lax.fori_loop(0, total, loop, 0)
 
+    Tp, W = mask_hbm.shape
     pl.run_scoped(
         body,
         k_buf=pltpu.VMEM((2, D, block_s), kT_hbm.dtype),
         v_buf=pltpu.VMEM((2, D, block_s), vT_hbm.dtype),
-        m_buf=pltpu.VMEM((2, Tp, block_s), jnp.int8),
+        m_buf=pltpu.VMEM((Tp, W), jnp.int8),
         sem_k=pltpu.SemaphoreType.DMA((2,)),
         sem_v=pltpu.SemaphoreType.DMA((2,)),
-        sem_m=pltpu.SemaphoreType.DMA((2,)),
+        sem_m=pltpu.SemaphoreType.DMA(()),
         acc=pltpu.VMEM((R, D), jnp.float32),
         m_i=pltpu.VMEM((R, 1), jnp.float32),
         l_i=pltpu.VMEM((R, 1), jnp.float32),
@@ -130,7 +161,9 @@ def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     [1, KH, D, S] with ``pre_transposed=True`` (the "ds" cache layout, which
     removes the per-call transpose that made this kernel net-negative
     in-loop); mask: [1, T, S] bool; kv_limit: scalar int32 (attend only to
-    slots < kv_limit).  Returns [1, T, NH*D]."""
+    slots < kv_limit).  Returns [1, T, NH*D].
+
+    Requires T <= block_s (the boundary window spans two blocks)."""
     _, T, NH, D = q.shape
     if pre_transposed:
         _, KH, _, S = k.shape
@@ -140,6 +173,7 @@ def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     R = G * T
     block_s = min(block_s, S)
     assert S % block_s == 0, (S, block_s)
+    assert T <= block_s, (T, block_s)
     # [KH, G*T, D] query rows per kv head (row r = g*T + t)
     qh = q[0].transpose(1, 0, 2).reshape(KH, G, T, D).reshape(KH, R, D)
     if pre_transposed:
@@ -147,35 +181,42 @@ def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     else:
         kT = k[0].transpose(0, 2, 1)   # [KH, D, S]
         vT = v[0].transpose(0, 2, 1)
+    # boundary window: mask columns [⌊cache_len/block⌋·block, +2·block);
+    # pad S by one block so the slice stays in bounds when the window's
+    # second block would start at S (then it is never streamed: the last
+    # streamed block index is cdiv(kv_limit, block)-1 <= jw when
+    # jw = (S-block)/block)
     Tp = _round_up(T, 32)
-    mask8 = jnp.zeros((Tp, S), jnp.int8).at[:T].set(mask[0].astype(jnp.int8))
+    w0 = ((kv_limit.astype(jnp.int32) - T) // block_s) * block_s
+    maskp = jnp.zeros((Tp, S + block_s), jnp.int8)
+    maskp = maskp.at[:T, :S].set(mask[0].astype(jnp.int8))
+    win8 = jax.lax.dynamic_slice(maskp, (0, w0), (Tp, 2 * block_s))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(KH,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, R, D), lambda h, *_: (h, 0, 0),
+            pl.BlockSpec((KH, R, D), lambda *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # KV + mask stay whole-array in HBM; the kernel slices the
-            # current head and DMA-streams S-blocks into VMEM itself.
+            # KV + mask window stay whole-array in HBM; the kernel slices
+            # (head, block) and DMA-streams into VMEM itself.
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, R, D), lambda h, *_: (h, 0, 0),
+        out_specs=pl.BlockSpec((KH, R, D), lambda *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     def kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref):
-        h = pl.program_id(0)
-        _kernel(kv_limit_ref, q_ref, k_ref.at[h], v_ref.at[h],
-                mask_ref, out_ref, block_s=block_s, scale=D ** -0.5, T=T)
+        _kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                block_s=block_s, scale=D ** -0.5, T=T, KH=KH)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KH, R, D), q.dtype),
         interpret=interpret,
-    )(kv_limit[None].astype(jnp.int32), qh, kT, vT, mask8)
+    )(kv_limit[None].astype(jnp.int32), qh, kT, vT, win8)
     # [KH, G, T, D] -> [T, KH*G*D]
     return out.reshape(KH, G, T, D).transpose(2, 0, 1, 3).reshape(1, T, NH * D)
