@@ -54,10 +54,57 @@ class FusedHybridConfig:
     steps_per_call: int = 256
     corpus_capacity: int = 1 << 15
     max_block: int = 64         # M >= max(n_predicts, tree_nodes)
+    # approx_max_k for the in-loop harvest ranking (fused_base.harvest_topk)
+    approx_harvest: bool = True
     # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
     indexed: bool = False
     index_grams: tuple = (8, 4, 2, 1)
     index_bucket_cap: int = 8
+
+
+def build_tr_topology(tree_nodes: int, topk: int):
+    """Token-Recycle topology, depth-relabeled, as device constants:
+    returns (parents, depths, children, rank)."""
+    parents = rank_probability_tree(tree_nodes, branching=topk)
+    d = node_depths(parents)
+    order = np.lexsort((np.arange(len(parents)), d))
+    new_pos = np.empty(len(parents), np.int32)
+    new_pos[order] = np.arange(len(parents), dtype=np.int32)
+    relabeled = np.full(len(parents), -1, np.int32)
+    for i, p in enumerate(parents):
+        if p >= 0:
+            relabeled[new_pos[i]] = new_pos[p]
+    depths = node_depths(relabeled)
+    children = child_ranks(relabeled)
+    rank = np.zeros(len(parents), np.int32)
+    for p, childs in enumerate(children):
+        for r, c in enumerate(childs):
+            rank[c] = r
+    return relabeled, depths, children, rank
+
+
+def make_tr_draft(tr_parents, tr_depths, tr_rank, M: int):
+    """Token-Recycle tree fill from a device harvest table: returns
+    tokens [M] (-1 beyond valid nodes) for one slot."""
+    max_depth = int(tr_depths.max())
+    levels = [np.nonzero(tr_depths == dd)[0]
+              for dd in range(max_depth + 1)]
+
+    def tr_draft(harvest, seen, start):
+        tokens = jnp.full((M,), -1, jnp.int32).at[0].set(start)
+        valid = jnp.zeros((M,), bool).at[0].set(True)
+        for dd in range(1, max_depth + 1):
+            nodes = levels[dd]
+            par = tr_parents[nodes]
+            ptok = tokens[par]
+            ok = valid[par] & (ptok >= 0) & seen[jnp.maximum(ptok, 0)]
+            preds = harvest[jnp.maximum(ptok, 0)]
+            t = preds[jnp.arange(len(nodes)), tr_rank[nodes]]
+            tokens = tokens.at[nodes].set(jnp.where(ok, t, -1))
+            valid = valid.at[nodes].set(ok)
+        return tokens
+
+    return tr_draft
 
 
 class FusedHybridEngine:
@@ -76,25 +123,9 @@ class FusedHybridEngine:
         self.prefill_buckets = tuple(b for b in prefill_buckets
                                      if b <= max_cache_len)
 
-        # Token-Recycle topology, depth-relabeled, as device constants
-        parents = rank_probability_tree(self.cfg.tree_nodes,
-                                        branching=self.cfg.topk)
-        d = node_depths(parents)
-        order = np.lexsort((np.arange(len(parents)), d))
-        new_pos = np.empty(len(parents), np.int32)
-        new_pos[order] = np.arange(len(parents), dtype=np.int32)
-        relabeled = np.full(len(parents), -1, np.int32)
-        for i, p in enumerate(parents):
-            if p >= 0:
-                relabeled[new_pos[i]] = new_pos[p]
-        self.tr_parents = relabeled
-        self.tr_depths = node_depths(relabeled)
-        self.tr_children = child_ranks(relabeled)
-        rank = np.zeros(len(parents), np.int32)
-        for p, childs in enumerate(self.tr_children):
-            for r, c in enumerate(childs):
-                rank[c] = r
-        self.tr_rank = rank
+        (self.tr_parents, self.tr_depths, self.tr_children,
+         self.tr_rank) = build_tr_topology(self.cfg.tree_nodes,
+                                           self.cfg.topk)
 
         from .cache import init_kv_cache
 
@@ -145,9 +176,6 @@ class FusedHybridEngine:
         N = len(self.tr_parents)
         K = hc.topk
         V = cfg.vocab_size
-        max_depth = int(self.tr_depths.max())
-        levels = [np.nonzero(self.tr_depths == dd)[0]
-                  for dd in range(max_depth + 1)]
         tr_parents = self.tr_parents
         tr_rank = self.tr_rank
         corpus = self.corpus
@@ -180,19 +208,7 @@ class FusedHybridEngine:
             tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
             return match, tokens, (1 + avail).astype(jnp.int32)
 
-        def tr_draft(harvest, seen, start):
-            tokens = jnp.full((M,), -1, jnp.int32).at[0].set(start)
-            valid = jnp.zeros((M,), bool).at[0].set(True)
-            for dd in range(1, max_depth + 1):
-                nodes = levels[dd]
-                par = tr_parents[nodes]
-                ptok = tokens[par]
-                ok = valid[par] & (ptok >= 0) & seen[jnp.maximum(ptok, 0)]
-                preds = harvest[jnp.maximum(ptok, 0)]
-                t = preds[jnp.arange(len(nodes)), tr_rank[nodes]]
-                tokens = tokens.at[nodes].set(jnp.where(ok, t, -1))
-                valid = valid.at[nodes].set(ok)
-            return tokens
+        tr_draft = make_tr_draft(tr_parents, self.tr_depths, tr_rank, M)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def fused(params, kv_k, kv_v, harvest, seen, history, hist_len,
@@ -234,7 +250,9 @@ class FusedHybridEngine:
                 kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, M, seq_axis=_sa)
                 kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, M, seq_axis=_sa)
                 # Token-Recycle harvest of the whole block
-                topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                from .fused_base import harvest_topk
+
+                topk = harvest_topk(logits[0], K, hc.approx_harvest)
                 rows = jnp.where(draft_tokens >= 0, draft_tokens, V)
                 harvest = harvest.at[rows].set(topk)
                 seen = seen.at[rows].set(True).at[V].set(False)
@@ -321,6 +339,378 @@ class FusedHybridEngine:
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])
+
+
+# ----------------------------------------------------------------------
+# Batched fused hybrid: continuous batching × SAM[Token Recycle]
+# ----------------------------------------------------------------------
+
+class BatchedFusedHybridEngine:
+    """B request slots × SAM[Token Recycle] stepped inside one fused device
+    loop — the flagship hybrid drafter under continuous batching.
+
+    Combines BatchedFusedSamEngine's slot scheduler (admit/finish on
+    segment boundaries, one packed control fetch per segment, early segment
+    exit when a slot frees and work is queued) with the hybrid body: every
+    live slot picks retrieval CHAIN vs Token-Recycle TREE per step from its
+    own suffix match, verifies the packed draft tree, gather-compacts its
+    KV slice and scatters its own [V+1, K] harvest table.  The reference's
+    strongest throughput configuration (samd/draft.py:52-63) has no batched
+    counterpart at all; per-slot state here is what its global
+    ForwardState/monkey-patching could not express."""
+
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 hy_cfg: Optional[FusedHybridConfig] = None, *,
+                 corpus: Optional[Sequence[int]] = None,
+                 batch_size: int = 4, max_cache_len: int = 2048,
+                 eos_token_id: int = 2,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        assert getattr(model_cfg, "kv_layout", "sd") == "sd", \
+            "batched hybrid compaction assumes the sd cache layout"
+        self.model_cfg = model_cfg
+        self.params = params
+        # short segments: admission granularity for continuous batching
+        self.cfg = hy_cfg or FusedHybridConfig(steps_per_call=16)
+        assert self.cfg.max_block >= max(self.cfg.n_predicts,
+                                         self.cfg.tree_nodes)
+        self.B = batch_size
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+        (self.tr_parents, self.tr_depths, self.tr_children,
+         self.tr_rank) = build_tr_topology(self.cfg.tree_nodes,
+                                           self.cfg.topk)
+        from .cache import init_kv_cache
+        from .fused_base import build_optional_index, load_corpus_buffer
+
+        self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
+                                             max_cache_len)
+        V = model_cfg.vocab_size
+        self.harvests = jnp.zeros((batch_size, V + 1, self.cfg.topk),
+                                  jnp.int32)
+        self.seens = jnp.zeros((batch_size, V + 1), bool)
+        self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
+        self.corpus, self.corpus_len = load_corpus_buffer(
+            corpus, self.cfg.corpus_capacity)
+        self.corpus_index = build_optional_index(corpus, self.cfg)
+        self._prefill_fns: Dict[int, callable] = {}
+        self._fused = self._build_fused()
+        self._fused_sampling: Dict[tuple, callable] = {}
+        self.sam_steps_total = 0
+        self.steps_total = 0
+        # host-side slot bookkeeping
+        self._slot_req = [None] * batch_size
+        self._slot_prompt = [0] * batch_size
+        self._slot_max_new = [0] * batch_size
+        self._slot_steps = [0] * batch_size
+        self.queue = []
+        self.results = {}
+        self._next_id = 0
+
+    # ------------------------------------------------------------------
+    def _build_prefill(self, P: int):
+        cfg, S, K = self.model_cfg, self.S, self.cfg.topk
+        V = cfg.vocab_size
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+        def prefill(params, kv_k, kv_v, harvests, seens, histories, tokens,
+                    true_len, slot):
+            from .cache import init_kv_cache
+
+            fk, fv = init_kv_cache(cfg, 1, S)
+            logits, _, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, S))
+            kv_k = jax.lax.dynamic_update_slice(kv_k, fk, (0, slot, 0, 0, 0))
+            kv_v = jax.lax.dynamic_update_slice(kv_v, fv, (0, slot, 0, 0, 0))
+            topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            rows = jnp.where(jnp.arange(P) < true_len, tokens, V)
+            hrow = jax.lax.dynamic_slice(harvests, (slot, 0, 0),
+                                         (1, V + 1, K))[0]
+            hrow = hrow.at[rows].set(topk)
+            harvests = jax.lax.dynamic_update_slice(harvests, hrow[None],
+                                                    (slot, 0, 0))
+            srow = jax.lax.dynamic_slice(seens, (slot, 0), (1, V + 1))[0]
+            srow = srow.at[rows].set(True).at[V].set(False)
+            seens = jax.lax.dynamic_update_slice(seens, srow[None],
+                                                 (slot, 0))
+            row = jnp.zeros((1, S), jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
+            histories = jax.lax.dynamic_update_slice(histories, row,
+                                                     (slot, 0))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            return (kv_k, kv_v, harvests, seens, histories,
+                    jnp.argmax(last).astype(jnp.int32), last)
+
+        return prefill
+
+    def _build_fused(self, sig: Optional[tuple] = None):
+        from .fused_base import make_retrieval_draft
+        from .verify import make_accept_fn
+
+        sampling = sig is not None
+        accept = make_accept_fn(sig) if sampling else None
+        cfg, S, B = self.model_cfg, self.S, self.B
+        hc = self.cfg
+        M = hc.max_block
+        K = hc.topk
+        V = cfg.vocab_size
+        tr_parents = self.tr_parents
+        tr_rank = self.tr_rank
+        chain_parents = jnp.concatenate([
+            jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
+            jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
+        tree_parents_packed = jnp.concatenate([
+            jnp.asarray(tr_parents),
+            jnp.arange(len(tr_parents), M, dtype=jnp.int32)])
+        retrieve = make_retrieval_draft(
+            S=S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
+            block=M, corpus_index=self.corpus_index)
+        tr_draft = make_tr_draft(tr_parents, self.tr_depths, tr_rank, M)
+
+        def retrieval_draft(history, hist_len, start):
+            match, use_dyn, raw, cont_avail = retrieve(history, hist_len,
+                                                       start)
+            avail = jnp.minimum(cont_avail, hc.n_predicts - 1)
+            keep = jnp.arange(M - 1) < avail
+            tokens = jnp.concatenate([
+                raw[:1], jnp.where(keep, raw[1:], -1)]).astype(jnp.int32)
+            tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
+            return match, tokens
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+        def fused(params, kv_k, kv_v, harvests, seens, histories, hist_lens,
+                  starts, budgets, actives, eos_id, keys, samp_flags,
+                  refill):
+            init_lives = actives & (budgets > 0) & (hist_lens + M <= S)
+
+            def cond(st):
+                (kv_k, kv_v, harvests, seens, histories, hist_lens, starts,
+                 budgets, lives, steps, slot_steps, sam_steps, keys) = st
+                freed = jnp.any(init_lives & ~lives)
+                return (jnp.any(lives) & (steps < hc.steps_per_call)
+                        & ~(refill & freed))
+
+            def body(st):
+                (kv_k, kv_v, harvests, seens, histories, hist_lens, starts,
+                 budgets, lives, steps, slot_steps, sam_steps, keys) = st
+                matches, chain_tokens = jax.vmap(retrieval_draft)(
+                    histories, hist_lens, starts)            # [B], [B, M]
+                use_sam = matches >= hc.len_threshold        # [B]
+                tree_tokens = jax.vmap(tr_draft)(harvests, seens, starts)
+                draft_tokens = jnp.where(use_sam[:, None], chain_tokens,
+                                         tree_tokens)        # [B, M]
+                parents = jnp.where(use_sam[:, None], chain_parents[None],
+                                    tree_parents_packed[None])
+                packed = jnp.stack([jnp.maximum(draft_tokens, 0), parents],
+                                   axis=1)                   # [B, 2, M]
+                toks, tree_mask, depths, paths = jax.vmap(
+                    lambda d: unpack_draft(d, M))(packed)
+                masks = jax.vmap(
+                    lambda tm, hl: block_decode_mask(tm, hl, S)[0]
+                )(tree_mask, hist_lens)                      # [B, M, S]
+                logits, _, kv_k, kv_v = forward(
+                    params, cfg, toks, depths + hist_lens[:, None],
+                    kv_k, kv_v, hist_lens, masks)
+                res = jax.vmap(greedy_accept)(logits, draft_tokens, paths)
+                alens = res.accept_len
+                path_nodes = res.path_nodes
+                acc = res.accepted_tokens
+                bonus = res.next_token
+                if sampling:
+                    split = jax.vmap(jax.random.split)(keys)
+                    subs, keys = split[:, 0], split[:, 1]
+                    res_s = jax.vmap(accept)(logits, draft_tokens, paths,
+                                             subs)
+                    alens = jnp.where(samp_flags, res_s.accept_len, alens)
+                    path_nodes = jnp.where(samp_flags[:, None],
+                                           res_s.path_nodes, path_nodes)
+                    acc = jnp.where(samp_flags[:, None],
+                                    res_s.accepted_tokens, acc)
+                    bonus = jnp.where(samp_flags, res_s.next_token, bonus)
+
+                # per-slot KV gather-compaction of the winning path
+                def compact(kv):
+                    def one(kv_b, off, idx):     # kv_b: [L, KH, S, D]
+                        blk = jax.lax.dynamic_slice(
+                            kv_b, (0, 0, off, 0),
+                            (kv_b.shape[0], kv_b.shape[1], M,
+                             kv_b.shape[3]))
+                        sel = jnp.take(blk, idx, axis=2)
+                        return jax.lax.dynamic_update_slice(
+                            kv_b, sel, (0, 0, off, 0))
+                    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(
+                        kv, hist_lens, path_nodes)
+
+                kv_k = compact(kv_k)
+                kv_v = compact(kv_v)
+                # Token-Recycle harvest of the whole block (live slots only:
+                # a dead slot's stale logits must not scribble tables a
+                # re-admitted request would inherit)
+                from .fused_base import harvest_topk
+
+                topk = harvest_topk(logits, K, hc.approx_harvest)
+                rows = jnp.where(lives[:, None] & (draft_tokens >= 0),
+                                 draft_tokens, V)            # [B, M]
+                harvests = jax.vmap(lambda h, r, t: h.at[r].set(t))(
+                    harvests, rows, topk)
+                seens = jax.vmap(
+                    lambda s, r: s.at[r].set(True).at[V].set(False)
+                )(seens, rows)
+                # commit (eos clamp per slot)
+                acc = jnp.maximum(acc, 0)                    # [B, Dp]
+                Dp = acc.shape[1]
+                is_eos = (acc == eos_id) & \
+                    (jnp.arange(Dp)[None] < alens[:, None])
+                any_eos = jnp.any(is_eos, axis=1)
+                alens = jnp.where(any_eos,
+                                  jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+                                  + 1, alens)
+                alens = jnp.where(lives, alens, 0)
+                histories = jax.vmap(
+                    lambda h, a, o: jax.lax.dynamic_update_slice(h, a, (o,))
+                )(histories, acc, hist_lens)
+                hist_lens = hist_lens + alens
+                budgets = budgets - alens
+                starts = jnp.where(lives, bonus, starts)
+                slot_steps = slot_steps + lives.astype(jnp.int32)
+                sam_steps = sam_steps + (lives & use_sam).astype(jnp.int32)
+                lives = lives & ~any_eos & (budgets > 0) & \
+                    (hist_lens + M <= S)
+                return (kv_k, kv_v, harvests, seens, histories, hist_lens,
+                        starts, budgets, lives, steps + 1, slot_steps,
+                        sam_steps, keys)
+
+            init = (kv_k, kv_v, harvests, seens, histories, hist_lens,
+                    starts, budgets, init_lives, jnp.int32(0),
+                    jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                    keys)
+            (kv_k, kv_v, harvests, seens, histories, hist_lens, starts,
+             budgets, lives, steps, slot_steps, sam_steps, keys) = \
+                jax.lax.while_loop(cond, body, init)
+            key_rows = jax.lax.bitcast_convert_type(keys, jnp.int32).T
+            ctrl = jnp.concatenate([
+                jnp.stack([hist_lens, starts, budgets,
+                           lives.astype(jnp.int32), slot_steps, sam_steps]),
+                key_rows], axis=0)
+            return (kv_k, kv_v, harvests, seens, histories, ctrl)
+
+        return fused
+
+    # -- scheduler (BatchedFusedSamEngine's protocol) ---------------------
+    def add_request(self, input_ids: Sequence[int],
+                    gen_config: Optional[GenerationConfig] = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append((rid, list(input_ids),
+                           gen_config or GenerationConfig()))
+        return rid
+
+    def run(self):
+        B = self.B
+        hist_lens = np.zeros(B, np.int32)
+        starts = np.zeros(B, np.int32)
+        budgets = np.zeros(B, np.int32)
+        actives = np.zeros(B, bool)
+        samp_flags = np.zeros(B, bool)
+        keys = np.zeros((B, 2), np.uint32)
+        slot_sigs = [None] * B
+
+        while self.queue or actives.any():
+            for i in range(B):
+                if actives[i] or not self.queue:
+                    continue
+                rid, ids, gen = self.queue.pop(0)
+                P = _bucket(len(ids), self.prefill_buckets)
+                if P not in self._prefill_fns:
+                    self._prefill_fns[P] = self._build_prefill(P)
+                padded = np.zeros(P, np.int32)
+                padded[:len(ids)] = ids
+                (self.kv_k, self.kv_v, self.harvests, self.seens,
+                 self.histories, nt, last_logits) = self._prefill_fns[P](
+                    self.params, self.kv_k, self.kv_v, self.harvests,
+                    self.seens, self.histories, jnp.asarray(padded),
+                    jnp.int32(len(ids)), jnp.int32(i))
+                if not gen.greedy:
+                    slot_sigs[i] = gen.sampling_signature
+                    samp_flags[i] = True
+                    k = jax.random.PRNGKey(gen.seed)
+                    if gen.temperature > 0:
+                        k, sub = jax.random.split(k)
+                        nt = jax.random.categorical(
+                            sub, last_logits / gen.temperature)
+                    keys[i] = np.asarray(k)
+                else:
+                    slot_sigs[i] = None
+                    samp_flags[i] = False
+                self._slot_req[i] = rid
+                self._slot_prompt[i] = len(ids)
+                self._slot_max_new[i] = gen.max_new_tokens
+                self._slot_steps[i] = 0
+                hist_lens[i] = len(ids)
+                starts[i] = int(nt)
+                budgets[i] = gen.max_new_tokens
+                actives[i] = True
+            if not actives.any():
+                break
+            sigs = {s for s in slot_sigs if s is not None}
+            if len(sigs) > 1:
+                raise ValueError(
+                    "concurrent sampling requests must share one sampling "
+                    f"signature; got {sigs}")
+            if sigs:
+                sig = next(iter(sigs))
+                if sig not in self._fused_sampling:
+                    self._fused_sampling[sig] = self._build_fused(sig)
+                fused = self._fused_sampling[sig]
+            else:
+                fused = self._fused
+            (self.kv_k, self.kv_v, self.harvests, self.seens,
+             self.histories, ctrl) = fused(
+                self.params, self.kv_k, self.kv_v, self.harvests,
+                self.seens, self.histories, jnp.asarray(hist_lens),
+                jnp.asarray(starts), jnp.asarray(budgets),
+                jnp.asarray(actives), jnp.int32(self.eos_token_id),
+                jnp.asarray(keys), jnp.asarray(samp_flags),
+                jnp.bool_(bool(self.queue)))
+            ctrl_np = np.asarray(ctrl)
+            hist_lens = ctrl_np[0].copy()
+            starts = ctrl_np[1].copy()
+            budgets = ctrl_np[2].copy()
+            lives = ctrl_np[3].astype(bool)
+            steps_arr = ctrl_np[4]
+            self.sam_steps_total += int(ctrl_np[5].sum())
+            self.steps_total += int(steps_arr[actives].sum()) \
+                if actives.any() else 0
+            keys = np.ascontiguousarray(ctrl_np[6:8].T).view(np.uint32)
+            hist_np = None
+            for i in range(B):
+                if not actives[i]:
+                    continue
+                self._slot_steps[i] += int(steps_arr[i])
+                if lives[i]:
+                    continue
+                if hist_np is None:
+                    hist_np = np.asarray(self.histories)
+                ids = hist_np[i, :hist_lens[i]].tolist()
+                plen = self._slot_prompt[i]
+                gen_part = ids[plen:]
+                if self.eos_token_id in gen_part:
+                    gen_part = gen_part[:gen_part.index(self.eos_token_id)
+                                        + 1]
+                gen_part = gen_part[:self._slot_max_new[i]]
+                self.results[self._slot_req[i]] = Outputs(
+                    ids[:plen] + gen_part, len(gen_part),
+                    self._slot_steps[i], [])
+                actives[i] = False
+                self._slot_req[i] = None
+                slot_sigs[i] = None
+                samp_flags[i] = False
+        out, self.results = self.results, {}
+        return out
 
 
 # ----------------------------------------------------------------------

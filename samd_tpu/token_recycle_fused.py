@@ -45,6 +45,8 @@ class FusedTokenRecycleConfig:
     num_nodes: int = 61
     topk: int = 8
     steps_per_call: int = 256
+    # approx_max_k for the in-loop harvest ranking (fused_base.harvest_topk)
+    approx_harvest: bool = True
 
 
 class FusedTokenRecycleEngine:
@@ -176,7 +178,9 @@ class FusedTokenRecycleEngine:
                 kv_k = compact_accepted(kv_k, hist_len, res.path_nodes, N, seq_axis=_sa)
                 kv_v = compact_accepted(kv_v, hist_len, res.path_nodes, N, seq_axis=_sa)
                 # harvest the block (valid nodes only; invalid -> row V)
-                topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+                from .fused_base import harvest_topk
+
+                topk = harvest_topk(logits[0], K, self.cfg.approx_harvest)
                 rows = jnp.where(draft_tokens >= 0, draft_tokens, V)
                 harvest = harvest.at[rows].set(topk)
                 seen = seen.at[rows].set(True).at[V].set(False)
