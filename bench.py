@@ -381,6 +381,62 @@ def main():
     except Exception:
         log("int8 section FAILED:\n" + traceback.format_exc())
 
+    # --- 7B-class INT8: production scale on ONE chip ----------------------
+    # bf16 7B (13.5 GB) does not fit a 16 GB v5e next to the bench's other
+    # engines; int8 weight-only (6.8 GB) does — this is the quantization
+    # feature's actual point.  Random weights in direct 1-byte init
+    # (ops/quant.init_quantized_llama_params), own-trajectory corpus, own
+    # int8 AR baseline as denominator.
+    params7 = ar7 = p7 = f7 = None
+    try:
+        from samd_tpu.models import llama_7b
+        from samd_tpu.ops.quant import init_quantized_llama_params
+
+        cfg7 = llama_7b()
+        params7 = init_quantized_llama_params(cfg7, jax.random.PRNGKey(0))
+        ar7 = ArBaseline(cfg7, params7, max_cache_len=MAX_CACHE,
+                         eos_token_id=-1, prefill_buckets=(128,))
+        log("7B int8 AR warmup/compile...")
+        ar7.generate(warm_prompt, warm)
+        _, a7_tok, a7_steps, a7_dt = timed_generate(ar7, all_prompts, gen)
+        a7_tps = a7_tok / a7_dt
+        log(f"7B int8 AR: {a7_tps:.1f} tok/s "
+            f"({1000 * a7_dt / max(a7_steps, 1):.1f} ms/step)")
+        p7 = FusedSamEngine(cfg7, params7, fscfg, max_cache_len=MAX_CACHE,
+                            eos_token_id=-1, prefill_buckets=(128,))
+        log("7B int8 fused-sam warmup/compile...")
+        p7.generate(warm_prompt, warm)
+        o7 = [p7.generate(p, gen).output_ids for p in overlap_prompts]
+        c7 = []
+        for o in o7:
+            c7 += o + [0]
+        f7 = FusedSamEngine(cfg7, params7, fscfg, corpus=c7,
+                            max_cache_len=MAX_CACHE, eos_token_id=-1,
+                            prefill_buckets=(128,))
+        f7.generate(warm_prompt, warm)
+        f7_outs, f7_tok, f7_steps, f7_dt = timed_generate(
+            f7, all_prompts, gen)
+        f7_tps = f7_tok / f7_dt
+        f7_equal = sum(int(a == b) for a, b in zip(o7, f7_outs[:2]))
+        log(f"7B int8 fused-sam: {f7_tps:.1f} tok/s, accept "
+            f"{f7_tok / max(f7_steps, 1):.2f}, "
+            f"{1000 * f7_dt / max(f7_steps, 1):.2f} ms/step, "
+            f"equal {f7_equal}/2, speedup {f7_tps / a7_tps:.2f}x vs own AR")
+        detail.update({
+            "int8_7b_ar_tokens_per_s": round(a7_tps, 2),
+            "int8_7b_fused_sam_tokens_per_s": round(f7_tps, 2),
+            "int8_7b_fused_sam_ms_per_step":
+                round(1000 * f7_dt / max(f7_steps, 1), 3),
+            "int8_7b_fused_sam_speedup_vs_own_ar":
+                round(f7_tps / a7_tps, 4),
+            "int8_7b_fused_sam_overlap_trajectory_equal": f7_equal == 2,
+        })
+    except Exception:
+        log("7B int8 section FAILED:\n" + traceback.format_exc())
+    # drop 7B references wherever the section stopped — a half-allocated
+    # 7B tree left alive would starve every later section of HBM
+    params7 = ar7 = p7 = f7 = None
+
     # --- batched fused-sam (batching × fusion) ----------------------------
     from samd_tpu.fused_sam import BatchedFusedSamEngine
 
@@ -485,6 +541,52 @@ def main():
     except Exception:
         log("int8 batched section FAILED:\n" + traceback.format_exc())
 
+    # --- int8 batched fused HYBRID (B=8): continuous batching × the
+    #     flagship SAM[Token Recycle] drafter — the peak-throughput config
+    #     (per-slot harvest tables lift accept above the chain engine's) --
+    try:
+        from samd_tpu.fused_hybrid import (BatchedFusedHybridEngine,
+                                           FusedHybridConfig)
+
+        bh_cfg = FusedHybridConfig(steps_per_call=16)
+        warm4 = GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE)
+        bh_probe = BatchedFusedHybridEngine(
+            cfg, qparams, bh_cfg, batch_size=8, max_cache_len=MAX_CACHE,
+            eos_token_id=-1, prefill_buckets=(128,))
+        log("int8 batched hybrid (B=8) warmup/compile...")
+        bh_probe.add_request(prompts[0][:64], warm4)
+        bh_probe.run()
+        for p in overlap_prompts:
+            bh_probe.add_request(p, gen)
+        bh_corpus = []
+        for r in bh_probe.run().values():
+            bh_corpus += r.output_ids + [0]
+        bh = BatchedFusedHybridEngine(
+            cfg, qparams, bh_cfg, corpus=bh_corpus, batch_size=8,
+            max_cache_len=MAX_CACHE, eos_token_id=-1, prefill_buckets=(128,))
+        bh.add_request(prompts[0][:64], warm4)
+        bh.run()
+        t0 = time.perf_counter()
+        for p in all_prompts * 4:
+            bh.add_request(p, gen)
+        bh_res = bh.run()
+        bh_dt = time.perf_counter() - t0
+        bh_tok = sum(r.decode_tokens for r in bh_res.values())
+        bh_steps = sum(r.decode_steps for r in bh_res.values())
+        bh_tps = bh_tok / bh_dt
+        log(f"int8 batched hybrid SAM[TR] (B=8, peak): {bh_tok} tokens in "
+            f"{bh_dt:.2f}s = {bh_tps:.1f} tok/s, "
+            f"accept {bh_tok/max(bh_steps,1):.2f}, "
+            f"sources sam={bh.sam_steps_total}")
+        detail.update({
+            "int8_batched_hybrid_b8_tokens_per_s": round(bh_tps, 2),
+            "int8_batched_hybrid_b8_mean_accept":
+                round(bh_tok / max(bh_steps, 1), 3),
+        })
+        del bh_probe, bh
+    except Exception:
+        log("int8 batched hybrid section FAILED:\n" + traceback.format_exc())
+
     # --- corpus-scale retrieval: 1M-token corpus through the n-gram index --
     # (reference corpora are millions of tokens, tools/gen_sam_alpaca.py;
     #  the windowed O(corpus) scan is hopeless there — the index probes
@@ -524,6 +626,56 @@ def main():
         })
     except Exception:
         log("1M-corpus section FAILED:\n" + traceback.format_exc())
+
+    # --- long-cache serving: flash kernel v2 vs XLA at S=8192 -------------
+    # XLA attention reads the whole padded [S] axis every step; the v2
+    # flash kernel (head-folded grid + boundary-window mask) streams only
+    # live KV blocks.  Each impl benches against its own-trajectory corpus
+    # and oracle (accumulation order differs -> near-tie argmaxes differ).
+    try:
+        from dataclasses import replace as dcr
+
+        S_LONG = 8192
+        gen_long = GenerationConfig(max_new_tokens=NEW_TOKENS,
+                                    max_cache_len=S_LONG)
+        warm_long = GenerationConfig(max_new_tokens=8, max_cache_len=S_LONG)
+        lc_rows = {}
+        for label, lcfg in (
+            ("xla", cfg),
+            ("flash", dcr(cfg, attention_impl="flash", kv_layout="ds")),
+        ):
+            probe = FusedSamEngine(lcfg, params, fscfg, max_cache_len=S_LONG,
+                                   eos_token_id=-1, prefill_buckets=(128,))
+            log(f"long-cache {label} warmup/compile...")
+            probe.generate(warm_prompt, warm_long)
+            orc = [probe.generate(p, gen_long).output_ids
+                   for p in overlap_prompts]
+            corp = []
+            for o in orc:
+                corp += o + [0]
+            engl = FusedSamEngine(lcfg, params, fscfg, corpus=corp,
+                                  max_cache_len=S_LONG, eos_token_id=-1,
+                                  prefill_buckets=(128,))
+            engl.generate(warm_prompt, warm_long)
+            l_outs, l_tok, l_steps, l_dt = timed_generate(
+                engl, all_prompts, gen_long)
+            l_equal = sum(int(a == b) for a, b in zip(orc, l_outs[:2]))
+            lc_rows[label] = 1000 * l_dt / max(l_steps, 1)
+            log(f"long-cache (S=8192) fused-sam/{label}: "
+                f"{l_tok / l_dt:.1f} tok/s, {lc_rows[label]:.2f} ms/step, "
+                f"equal {l_equal}/2")
+            detail.update({
+                f"longcache8k_fused_sam_{label}_tokens_per_s":
+                    round(l_tok / l_dt, 2),
+                f"longcache8k_fused_sam_{label}_ms_per_step":
+                    round(lc_rows[label], 3),
+                f"longcache8k_fused_sam_{label}_equal": l_equal == 2,
+            })
+            del probe, engl
+        detail["longcache8k_flash_vs_xla_step_time_ratio"] = round(
+            lc_rows["flash"] / lc_rows["xla"], 3)
+    except Exception:
+        log("long-cache section FAILED:\n" + traceback.format_exc())
 
     # --- device-resident fused Token-Recycle ------------------------------
     from samd_tpu.token_recycle_fused import (
@@ -709,6 +861,52 @@ def main():
         })
     except Exception:
         log("fused hybrid EAGLE section FAILED:\n" + traceback.format_exc())
+
+    # --- model families: Qwen2 / MoE trunks through the same engine -------
+    # The reference serves Qwen2/Mixtral targets via vendored modeling
+    # copies; here one forward serves all families, so the fused engine
+    # runs them unchanged.  Each family benches against its own-trajectory
+    # corpus (same methodology as the flagship row).
+    from dataclasses import replace as dc_replace
+
+    for fam, fam_cfg in (
+        ("qwen2", dc_replace(cfg, attn_bias=True, rope_theta=1e6)),
+        ("moe", dc_replace(cfg, intermediate_size=1408, num_experts=8,
+                           num_experts_per_tok=2)),
+    ):
+        try:
+            fam_params = init_params(fam_cfg, jax.random.PRNGKey(0))
+            f_probe = FusedSamEngine(fam_cfg, fam_params, fscfg,
+                                     max_cache_len=MAX_CACHE,
+                                     eos_token_id=-1, prefill_buckets=(128,))
+            log(f"{fam}-family fused-sam warmup/compile...")
+            f_probe.generate(warm_prompt, warm)
+            f_oracle = [f_probe.generate(p, gen).output_ids
+                        for p in overlap_prompts]
+            f_corpus = []
+            for o in f_oracle:
+                f_corpus += o + [0]
+            feng = FusedSamEngine(fam_cfg, fam_params, fscfg,
+                                  corpus=f_corpus, max_cache_len=MAX_CACHE,
+                                  eos_token_id=-1, prefill_buckets=(128,))
+            feng.generate(warm_prompt, warm)
+            f_outs, f_tok, f_steps, f_dt = timed_generate(
+                feng, all_prompts, gen)
+            f_tps = f_tok / f_dt
+            f_equal = sum(int(a == b) for a, b in zip(f_oracle, f_outs[:2]))
+            log(f"{fam}-family fused-sam: {f_tps:.1f} tok/s, accept "
+                f"{f_tok / max(f_steps, 1):.2f}, "
+                f"{1000 * f_dt / max(f_steps, 1):.2f} ms/step, "
+                f"overlap trajectory equal {f_equal}/2")
+            detail.update({
+                f"{fam}_fused_sam_tokens_per_s": round(f_tps, 2),
+                f"{fam}_fused_sam_ms_per_step":
+                    round(1000 * f_dt / max(f_steps, 1), 3),
+                f"{fam}_fused_sam_overlap_trajectory_equal": f_equal == 2,
+            })
+            del fam_params, f_probe, feng
+        except Exception:
+            log(f"{fam} family section FAILED:\n" + traceback.format_exc())
 
     # --- trained-weights acceptance (tiny model, honest accept numbers) ---
     # Every row above runs random weights (mechanics only).  This trains a

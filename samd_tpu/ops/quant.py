@@ -110,6 +110,54 @@ def quantize_llama_params(params: dict, *, dtype=jnp.int8) -> dict:
     return out
 
 
+def init_quantized_llama_params(cfg, key, *, scale: float = 0.02,
+                                dtype=jnp.int8) -> dict:
+    """Random parameter pytree built DIRECTLY in 1-byte form — for
+    random-weight benches of models whose bf16 form would not fit a single
+    chip's HBM (7B-class on one 16 GB v5e: 13.5 GB bf16 vs 6.8 GB int8).
+    ``init_params`` + ``quantize_llama_params`` would materialize the bf16
+    tree first; this never does.
+
+    Projection weights are uniform int8 · a per-channel constant chosen so
+    the dequantized std ≈ ``scale`` (matching init_params' normal init
+    scale); embed and norms stay in cfg.dtype.  Mechanics benches only —
+    real checkpoints go through models.loader + quantize_llama_params."""
+    import numpy as np
+
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 12)
+    s = scale * np.sqrt(3.0) / 127.0   # uniform[-127,127]·s has std≈scale
+
+    def qrand(k, shape):
+        q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+        return QuantizedTensor(q=q, scale=jnp.full(shape[:-2] + shape[-1:],
+                                                   s, jnp.float32))
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    params = {
+        "embed": norm(keys[0], (cfg.vocab_size, H)),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), cfg.dtype),
+            "wq": qrand(keys[1], (L, H, NH * D)),
+            "wk": qrand(keys[2], (L, H, KH * D)),
+            "wv": qrand(keys[3], (L, H, KH * D)),
+            "wo": qrand(keys[4], (L, NH * D, H)),
+            "mlp_norm": jnp.ones((L, H), cfg.dtype),
+            "w_gate": qrand(keys[5], (L, H, I)),
+            "w_up": qrand(keys[6], (L, H, I)),
+            "w_down": qrand(keys[7], (L, I, H)),
+        },
+        "final_norm": jnp.ones((H,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = qrand(keys[8], (H, cfg.vocab_size))
+    return params
+
+
 def quantize_eagle_params(params: dict, *, dtype=jnp.int8) -> dict:
     """Quantize an EAGLE draft-net param dict (drafters.eagle.net): the
     expansion loop runs the net ``depth`` times per decode step, so its

@@ -127,3 +127,29 @@ def test_fp8_weight_only_quantization():
                      max_cache_len=256, eos_token_id=-1, prefill_buckets=(32,))
     assert eng.generate(prompt, gen).output_ids == \
         oracle.generate(prompt, gen).output_ids
+
+
+def test_init_quantized_params_serves():
+    """Direct 1-byte random init (no bf16 intermediate) drives the engine:
+    the 7B-class single-chip bench path (bench.py)."""
+    from samd_tpu.config import GenerationConfig
+    from samd_tpu.engine import ArBaseline
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.models import tiny_config
+    from samd_tpu.ops.quant import (QuantizedTensor,
+                                    init_quantized_llama_params)
+
+    cfg = tiny_config(vocab_size=128)
+    params = init_quantized_llama_params(cfg, jax.random.PRNGKey(0),
+                                         scale=0.4)
+    assert isinstance(params["layers"]["wq"], QuantizedTensor)
+    assert params["layers"]["wq"].q.dtype == jnp.int8
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    prompt = np.random.default_rng(1).integers(3, 128, size=20).tolist()
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=8)
+    eng = FusedSamEngine(cfg, params, FusedSamConfig(n_predicts=7),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
