@@ -152,6 +152,39 @@ def main():
         "greedy_outputs_equal": mismatches == 0,
     })
 
+    # --- GSPMD overhead probe: the same host engine under a 1-chip mesh ---
+    # Multi-chip TP/PP is validated on the virtual CPU mesh (only one real
+    # chip exists); this pins what compiling the identical step under
+    # GSPMD sharding machinery costs on real hardware: the mesh=1 program
+    # must match the unsharded engine's throughput.
+    try:
+        from samd_tpu.parallel import make_mesh
+
+        eng_tp = SamdEngine(cfg, params, samd_cfg,
+                            make_drafter(samd_cfg, cfg.vocab_size,
+                                         static_sam=static_sam),
+                            max_cache_len=MAX_CACHE, eos_token_id=-1,
+                            prefill_buckets=(128,), mesh=make_mesh(1))
+        log("samd tp=1 GSPMD warmup/compile...")
+        eng_tp.generate(warm_prompt, warm)
+        tp_outs, tp_tok, tp_steps, tp_dt = timed_generate(
+            eng_tp, all_prompts, gen)
+        tp_tps = tp_tok / tp_dt
+        log(f"samd under tp=1 mesh: {tp_tps:.1f} tok/s "
+            f"(unsharded {samd_tps:.1f}; ratio {tp_tps / samd_tps:.3f}), "
+            f"equal {sum(int(a == b) for a, b in zip(samd_outs, tp_outs))}"
+            f"/{len(samd_outs)}")
+        detail.update({
+            "tp1_gspmd_samd_tokens_per_s": round(tp_tps, 2),
+            "tp1_gspmd_vs_unsharded_ratio": round(tp_tps / samd_tps, 4),
+            "tp1_gspmd_outputs_equal":
+                sum(int(a == b) for a, b in zip(samd_outs, tp_outs))
+                == len(samd_outs),
+        })
+        del eng_tp
+    except Exception:
+        log("tp=1 GSPMD section FAILED:\n" + traceback.format_exc())
+
     # --- interleaved host samd: N exact-automaton lanes, overlapped fetches -
     # (the host engine's per-step blocking fetch costs ~1 RTT of idle device;
     #  round-robined lanes overlap the round trips — samd_tpu/interleave.py)
@@ -643,6 +676,13 @@ def main():
         for label, lcfg in (
             ("xla", cfg),
             ("flash", dcr(cfg, attention_impl="flash", kv_layout="ds")),
+            # int8 KV (cache.QuantizedKV): halves the [S]-axis read traffic
+            # the xla row pays in full
+            ("int8kv", dcr(cfg, kv_quant=True)),
+            # combined: the flash kernel DMAs int8 KV blocks and
+            # dequantizes in-register — half the v2 kernel's DMA bytes
+            ("flash_int8kv", dcr(cfg, attention_impl="flash",
+                                 kv_layout="ds", kv_quant=True)),
         ):
             probe = FusedSamEngine(lcfg, params, fscfg, max_cache_len=S_LONG,
                                    eos_token_id=-1, prefill_buckets=(128,))

@@ -65,6 +65,8 @@ class BatchedSamdEngine:
                  eos_token_id: int = 2,
                  stop_token_id: Optional[int] = None,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        assert not getattr(model_cfg, "kv_quant", False), \
+            "int8 KV is single-stream-engine only (slot prefill writes raw)"
         self.model_cfg = model_cfg
         self.params = params
         self.samd_cfg = samd_cfg

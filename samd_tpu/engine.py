@@ -89,6 +89,8 @@ class SamdEngine:
         self.model_cfg = model_cfg
         self.mesh = mesh
         if mesh is not None:
+            assert not getattr(model_cfg, "kv_quant", False), \
+                "int8 KV under a mesh needs a QuantizedKV sharding spec"
             # Tensor-parallel serving: shard weights/KV once; every jitted
             # step then compiles under GSPMD with ICI collectives.
             from .parallel.sharding import check_shardable, shard_params

@@ -367,6 +367,8 @@ class BatchedFusedHybridEngine:
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
         assert getattr(model_cfg, "kv_layout", "sd") == "sd", \
             "batched hybrid compaction assumes the sd cache layout"
+        assert not getattr(model_cfg, "kv_quant", False), \
+            "int8 KV is single-stream-engine only (slot prefill writes raw)"
         self.model_cfg = model_cfg
         self.params = params
         # short segments: admission granularity for continuous batching

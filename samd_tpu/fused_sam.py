@@ -422,6 +422,8 @@ class BatchedFusedSamEngine:
                  batch_size: int = 4, max_cache_len: int = 2048,
                  eos_token_id: int = 2,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+        assert not getattr(model_cfg, "kv_quant", False), \
+            "int8 KV is single-stream-engine only (slot prefill writes raw)"
         self.model_cfg = model_cfg
         self.params = params
         # short segments by default: steps_per_call is the admission

@@ -57,6 +57,12 @@ class ModelConfig:
     #          layout — streams S-blocks with the 128-aligned lane dim and
     #          no per-layer transpose; XLA attention handles it via einsum)
     kv_layout: str = "sd"
+    # INT8 KV cache (cache.QuantizedKV): int8 values + one fp32 scale per
+    # (token, kv-head).  Halves KV footprint and attention read traffic;
+    # trajectories differ from the bf16 cache's (near-tie argmaxes), so
+    # greedy-equality oracles must share the flag.  Single-stream engines
+    # + XLA attention path (flash/paged kernels consume bf16 KV).
+    kv_quant: bool = False
 
     @property
     def kv_groups(self) -> int:

@@ -116,13 +116,18 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
-def _attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
+def _attention(q: jax.Array, k, v, mask: jax.Array,
                cfg: ModelConfig) -> jax.Array:
-    """q: [B,T,NH,D]; k,v: [B,KH,S,D] ("sd") or [B,KH,D,S] ("ds");
+    """q: [B,T,NH,D]; k,v: [B,KH,S,D] ("sd") or [B,KH,D,S] ("ds"), plain or
+    QuantizedKV (int8 cache — dequant fuses into the score/context dots);
     mask: [B,T,S] bool -> [B,T,NH*D]."""
+    from ..cache import dequantize_kv
+
     B, T = q.shape[0], q.shape[1]
     KH, G, D = cfg.num_kv_heads, cfg.kv_groups, cfg.head_dim
     ds = getattr(cfg, "kv_layout", "sd") == "ds"
+    k = dequantize_kv(k, q.dtype, ds_layout=ds)
+    v = dequantize_kv(v, q.dtype, ds_layout=ds)
     qg = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)  # [B,KH,G,T,D]
     scores = jnp.einsum("bkgtd,bkds->bkgts" if ds else "bkgtd,bksd->bkgts",
                         qg, k, preferred_element_type=jnp.float32)
@@ -225,6 +230,25 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
                         c, u, (0, o, 0))
                 )(cache, block, write_offset)
 
+    from ..cache import QuantizedKV, quantize_kv_block
+
+    if write_offset.ndim == 0:
+        def write_scale(cache_s, sc):      # cache_s [B,KH,S], sc [B,KH,T]
+            return jax.lax.dynamic_update_slice(cache_s, sc,
+                                                (0, 0, write_offset))
+    else:
+        def write_scale(cache_s, sc):
+            return jax.vmap(
+                lambda c, u, o: jax.lax.dynamic_update_slice(c, u, (0, o))
+            )(cache_s, sc, write_offset)
+
+    def write_kv_any(cache, block):
+        if isinstance(cache, QuantizedKV):
+            qb, sc = quantize_kv_block(block)
+            return QuantizedKV(write_kv(cache.q, qb),
+                               write_scale(cache.scale, sc))
+        return write_kv(cache, block)
+
     def layer_step(carry, xs):
         h = carry
         lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
@@ -239,10 +263,11 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             v = qmatmul(x, lp["wv"]).reshape(B, T, KH, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = write_kv(k_cache, k.transpose(0, 2, 1, 3))
-        v_cache = write_kv(v_cache, v.transpose(0, 2, 1, 3))
+        k_cache = write_kv_any(k_cache, k.transpose(0, 2, 1, 3))
+        v_cache = write_kv_any(v_cache, v.transpose(0, 2, 1, 3))
         if cfg.attention_impl in ("flash", "flash_interpret") and B == 1 \
-                and write_offset.ndim == 0 and T <= 128:
+                and write_offset.ndim == 0 and T <= 128 \
+                and (not isinstance(k_cache, QuantizedKV) or ds_layout):
             # the flash kernel targets small decode/verify blocks; wide
             # prefill blocks (T ≫ M) would blow VMEM (G·T query rows) and
             # XLA's fused attention is already fine there

@@ -47,22 +47,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
-            block_s: int, scale: float, T: int, KH: int):
+            block_s: int, scale: float, T: int, KH: int,
+            scales_hbm=None):
     """One program, ALL kv-heads.  q_ref/out_ref: [KH, R, D] VMEM;
     kT/vT_hbm: [KH, D, S] (transposed); mask_hbm: [Tp, 2·block_s] int8 —
     the *boundary window*: mask for columns [⌊cache_len/block⌋·block, +2B)
     only, where cache_len = kv_limit - T.  Blocks fully below the window
     are committed prefix — every query row attends them.
-    R = G*T; row r ↔ query t = r % T."""
+    R = G*T; row r ↔ query t = r % T.
+
+    scales_hbm (int8-KV mode): [KH, 2, S] f32 — per-(head, token) k/v
+    dequant scales; kT/vT are then int8 and the kernel DMAs HALF the KV
+    bytes, dequantizing in-register after each block lands."""
     _, R, D = q_ref.shape
     S = kT_hbm.shape[2]
     G = R // T
+    quantized = scales_hbm is not None
     kv_limit = kv_limit_ref[0]
     num_blocks = pl.cdiv(jnp.minimum(kv_limit, S), block_s)
     # first block touching uncommitted columns; window col 0 = jw * block_s
     jw = (kv_limit - T) // block_s
 
-    def body(k_buf, v_buf, m_buf, sem_k, sem_v, sem_m, acc, m_i, l_i):
+    def body(k_buf, v_buf, s_buf, m_buf, sem_k, sem_v, sem_s, sem_m, acc,
+             m_i, l_i):
         # one window DMA per program (not per block, not per head)
         mask_cp = pltpu.make_async_copy(mask_hbm, m_buf, sem_m)
         mask_cp.start()
@@ -71,12 +78,17 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
             h = idx // num_blocks
             j = idx - h * num_blocks
             off = pl.multiple_of(j * block_s, block_s)
-            return (
+            copies = (
                 pltpu.make_async_copy(kT_hbm.at[h, :, pl.ds(off, block_s)],
                                       k_buf.at[slot], sem_k.at[slot]),
                 pltpu.make_async_copy(vT_hbm.at[h, :, pl.ds(off, block_s)],
                                       v_buf.at[slot], sem_v.at[slot]),
             )
+            if quantized:
+                copies += (pltpu.make_async_copy(
+                    scales_hbm.at[h, :, pl.ds(off, block_s)],
+                    s_buf.at[slot], sem_s.at[slot]),)
+            return copies
 
         for c in get_copies(0, 0):
             c.start()
@@ -103,8 +115,13 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
                 c.wait()
 
             q = q_ref[h].astype(jnp.float32)               # [R, D]
-            kT = k_buf[slot].astype(jnp.float32)           # [D, BS]
-            vT = v_buf[slot].astype(jnp.float32)
+            if quantized:
+                sc = s_buf[slot]                           # [2, BS] f32
+                kT = k_buf[slot].astype(jnp.float32) * sc[0][None, :]
+                vT = v_buf[slot].astype(jnp.float32) * sc[1][None, :]
+            else:
+                kT = k_buf[slot].astype(jnp.float32)       # [D, BS]
+                vT = v_buf[slot].astype(jnp.float32)
             # committed blocks (j < jw): all rows attend; boundary blocks:
             # window slice (j - jw) carries the prefix/tree/tail predicate
             rel = j - jw
@@ -139,9 +156,11 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
         body,
         k_buf=pltpu.VMEM((2, D, block_s), kT_hbm.dtype),
         v_buf=pltpu.VMEM((2, D, block_s), vT_hbm.dtype),
+        s_buf=pltpu.VMEM((2, 2, block_s), jnp.float32),
         m_buf=pltpu.VMEM((Tp, W), jnp.int8),
         sem_k=pltpu.SemaphoreType.DMA((2,)),
         sem_v=pltpu.SemaphoreType.DMA((2,)),
+        sem_s=pltpu.SemaphoreType.DMA((2,)),
         sem_m=pltpu.SemaphoreType.DMA(()),
         acc=pltpu.VMEM((R, D), jnp.float32),
         m_i=pltpu.VMEM((R, 1), jnp.float32),
@@ -151,7 +170,7 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_s", "interpret", "pre_transposed"))
-def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+def flash_block_attention(q: jax.Array, k, v,
                           mask: jax.Array, kv_limit: jax.Array, *,
                           block_s: int = 512, pre_transposed: bool = False,
                           interpret: bool = False) -> jax.Array:
@@ -160,11 +179,20 @@ def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     q: [1, T, NH, D]; k, v: [1, KH, S, D] — or the kernel-native transposed
     [1, KH, D, S] with ``pre_transposed=True`` (the "ds" cache layout, which
     removes the per-call transpose that made this kernel net-negative
-    in-loop); mask: [1, T, S] bool; kv_limit: scalar int32 (attend only to
-    slots < kv_limit).  Returns [1, T, NH*D].
+    in-loop) — or ``cache.QuantizedKV`` holding the transposed int8 cache
+    (``kv_quant`` + "ds"): the kernel then DMAs half the KV bytes and
+    dequantizes in-register.  mask: [1, T, S] bool; kv_limit: scalar int32
+    (attend only to slots < kv_limit).  Returns [1, T, NH*D].
 
     Requires T <= block_s (the boundary window spans two blocks)."""
+    from ..cache import QuantizedKV
+
+    quantized = isinstance(k, QuantizedKV)
     _, T, NH, D = q.shape
+    if quantized:
+        assert pre_transposed, "int8-KV flash requires the ds cache layout"
+        scales = jnp.stack([k.scale[0], v.scale[0]], axis=1)  # [KH, 2, S]
+        k, v = k.q, v.q
     if pre_transposed:
         _, KH, _, S = k.shape
     else:
@@ -192,31 +220,39 @@ def flash_block_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     maskp = maskp.at[:T, :S].set(mask[0].astype(jnp.int8))
     win8 = jax.lax.dynamic_slice(maskp, (0, w0), (Tp, 2 * block_s))
 
+    n_hbm = 4 if quantized else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((KH, R, D), lambda *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # KV + mask window stay whole-array in HBM; the kernel slices
-            # (head, block) and DMA-streams into VMEM itself.
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            # KV (+ scales) + mask window stay whole-array in HBM; the
+            # kernel slices (head, block) and DMA-streams into VMEM itself.
+            *[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * n_hbm,
         ],
         out_specs=pl.BlockSpec((KH, R, D), lambda *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    def kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref):
-        _kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
-                block_s=block_s, scale=D ** -0.5, T=T, KH=KH)
+    if quantized:
+        def kernel(kv_limit_ref, q_ref, k_ref, v_ref, s_ref, mask_ref,
+                   out_ref):
+            _kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                    block_s=block_s, scale=D ** -0.5, T=T, KH=KH,
+                    scales_hbm=s_ref)
+        operands = (qh, kT, vT, scales, win8)
+    else:
+        def kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref):
+            _kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                    block_s=block_s, scale=D ** -0.5, T=T, KH=KH)
+        operands = (qh, kT, vT, win8)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KH, R, D), q.dtype),
         interpret=interpret,
-    )(kv_limit[None].astype(jnp.int32), qh, kT, vT, win8)
+    )(kv_limit[None].astype(jnp.int32), *operands)
     # [KH, G, T, D] -> [T, KH*G*D]
     return out.reshape(KH, G, T, D).transpose(2, 0, 1, 3).reshape(1, T, NH * D)
