@@ -64,6 +64,13 @@ def build_engine(args):
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         eos = tokenizer.eos_token_id
 
+    if args.kv_quant:
+        # int8 KV: 2x context/slots per chip; pair with flash+ds so speed
+        # stays at parity (docs/PERFORMANCE.md "INT8 KV cache")
+        from dataclasses import replace
+
+        cfg = replace(cfg, kv_quant=True)
+
     if args.max_cache_len >= 2048 and not args.cpu:
         # long-cache configs: the v2 flash kernel + native-transposed KV
         # layout beat XLA's full-cache attention from S~2048 up (measured
@@ -163,6 +170,9 @@ def main():
                    help="samd = host SAM automata; fused_* = device loops; "
                         "fused_hybrid = SAM[Token Recycle]; "
                         "fused_sam_eagle2 = SAM[EAGLE-2]")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (2x context per chip; single-stream "
+                        "engines)")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "fp8"],
                    help="weight-only quantization (int8 is the fastest "

@@ -37,3 +37,28 @@ def test_cli_quantized(quantize):
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.count("ASSISTANT>") == 1
+
+
+def test_cli_kv_quant():
+    """--kv-quant serves through the int8 KV cache (capacity mode)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "samd_tpu.cli", "--random-model", "--tiny",
+         "--cpu", "--engine", "fused_sam", "--kv-quant",
+         "--max-new-tokens", "8", "--max-cache-len", "256"],
+        input="5 6 7 8 9 10\n!!exit\n",
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("ASSISTANT>") == 1
+
+
+def test_cli_family_smoke():
+    """--family qwen2/moe tiny configs serve through every engine type."""
+    for family, engine in (("qwen2", "fused_hybrid"), ("moe", "samd")):
+        r = subprocess.run(
+            [sys.executable, "-m", "samd_tpu.cli", "--random-model",
+             "--tiny", "--cpu", "--family", family, "--engine", engine,
+             "--max-new-tokens", "8", "--max-cache-len", "256"],
+            input="5 6 7 8 9 10\n!!exit\n",
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, (family, engine, r.stderr[-2000:])
+        assert r.stdout.count("ASSISTANT>") == 1

@@ -182,3 +182,22 @@ def test_moe_expert_parallel_matches_unsharded():
         sharded, cfg, tokens, pos, kv_k, kv_v, jnp.int32(0), mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("family", ["qwen2", "moe"])
+def test_hybrid_greedy_equality(family):
+    """Tree drafts (Token-Recycle hybrid) through the family forwards."""
+    from samd_tpu.fused_hybrid import FusedHybridConfig, FusedHybridEngine
+
+    cfg = tiny_qwen2_config() if family == "qwen2" else tiny_moe_config()
+    params = init_params(cfg, jax.random.PRNGKey(8))
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    hy = FusedHybridConfig(max_ngram=4, ext=12, n_predicts=8,
+                           len_threshold=2, len_bias=0, tree_nodes=13,
+                           topk=4, max_block=16, corpus_capacity=1024)
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=16)
+    eng = FusedHybridEngine(cfg, params, hy, max_cache_len=256,
+                            eos_token_id=-1, prefill_buckets=(32,))
+    p = np.random.default_rng(9).integers(3, 128, size=20).tolist()
+    assert eng.generate(p, gen).output_ids == ar.generate(p, gen).output_ids
