@@ -31,6 +31,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def timed_generate(engine, prompts, gen, repeats=2):
     """Best-of-`repeats` wall time (tunnel latency varies run to run;
     best-of stabilizes the recorded number without changing outputs —
@@ -371,6 +377,15 @@ def main():
         "fused_sam_ms_per_step": round(fs_ms, 3),
         "fused_sam_overlap_trajectory_equal": fs_equal == 2,
     })
+    # time-to-first-token: prefill (96 -> bucket 128) + one decode step +
+    # host overheads; same compiled programs as above (budget=1 exits the
+    # fused loop after one iteration)
+    gen1 = GenerationConfig(max_new_tokens=1, max_cache_len=MAX_CACHE)
+    fs.generate(prompts[0], gen1)
+    ttft = min(_timed(lambda: fs.generate(prompts[0], gen1))
+               for _ in range(3))
+    log(f"flagship TTFT (prefill 96 + 1 step): {1000 * ttft:.2f} ms")
+    detail["flagship_ttft_ms"] = round(1000 * ttft, 2)
 
     # --- INT8 weight-only fused-sam, measured against its own INT8 oracle --
     # INT8 matmuls change near-tie argmaxes, so the INT8 engine's trajectory
@@ -423,7 +438,7 @@ def main():
     # feature's actual point.  Random weights in direct 1-byte init
     # (ops/quant.init_quantized_llama_params), own-trajectory corpus, own
     # int8 AR baseline as denominator.
-    params7 = ar7 = p7 = f7 = None
+    params7 = ar7 = p7 = f7 = b7p = b7 = None
     try:
         from samd_tpu.models import llama_7b
         from samd_tpu.ops.quant import init_quantized_llama_params
@@ -467,34 +482,45 @@ def main():
                 round(f7_tps / a7_tps, 4),
             "int8_7b_fused_sam_overlap_trajectory_equal": f7_equal == 2,
         })
+        # 7B batched serving was measured standalone (224 tok/s aggregate,
+        # B=4 M=16, accept 1.88 — docs/PERFORMANCE.md): running it INSIDE
+        # the bench OOMs next to the resident 1B engines, and on the
+        # tunneled backend an OOM wedges the process (every later section
+        # then fails at tiny allocations), so the bench keeps 7B
+        # single-stream only.
     except Exception:
         log("7B int8 section FAILED:\n" + traceback.format_exc())
     # drop 7B references wherever the section stopped — a half-allocated
     # 7B tree left alive would starve every later section of HBM
-    params7 = ar7 = p7 = f7 = None
+    params7 = ar7 = p7 = f7 = b7p = b7 = None
+    import gc
+    gc.collect()
 
     # --- batched fused-sam (batching × fusion) ----------------------------
     from samd_tpu.fused_sam import BatchedFusedSamEngine
 
-    bfs = BatchedFusedSamEngine(cfg, params, fscfg, corpus=fs_corpus,
-                                batch_size=4, max_cache_len=MAX_CACHE,
-                                eos_token_id=-1, prefill_buckets=(128,))
-    bfs.add_request(prompts[0][:64],
-                    GenerationConfig(max_new_tokens=4,
-                                     max_cache_len=MAX_CACHE))
-    bfs.run()
-    t0 = time.perf_counter()
-    for p in all_prompts * 2:
-        bfs.add_request(p, gen)
-    bfs_res = bfs.run()
-    bfs_dt = time.perf_counter() - t0
-    bfs_tok = sum(r.decode_tokens for r in bfs_res.values())
-    bfs_tps = bfs_tok / bfs_dt
-    log(f"batched fused-sam (B=4): {bfs_tok} tokens in {bfs_dt:.2f}s = "
-        f"{bfs_tps:.1f} tok/s")
-    detail["batched_fused_sam_tokens_per_s"] = round(bfs_tps, 2)
-    detail["batched_fused_sam_speedup"] = round(bfs_tps / ar_tps, 4)
-    detail["batch_size"] = 4
+    try:
+        bfs = BatchedFusedSamEngine(cfg, params, fscfg, corpus=fs_corpus,
+                                    batch_size=4, max_cache_len=MAX_CACHE,
+                                    eos_token_id=-1, prefill_buckets=(128,))
+        bfs.add_request(prompts[0][:64],
+                        GenerationConfig(max_new_tokens=4,
+                                         max_cache_len=MAX_CACHE))
+        bfs.run()
+        t0 = time.perf_counter()
+        for p in all_prompts * 2:
+            bfs.add_request(p, gen)
+        bfs_res = bfs.run()
+        bfs_dt = time.perf_counter() - t0
+        bfs_tok = sum(r.decode_tokens for r in bfs_res.values())
+        bfs_tps = bfs_tok / bfs_dt
+        log(f"batched fused-sam (B=4): {bfs_tok} tokens in {bfs_dt:.2f}s = "
+            f"{bfs_tps:.1f} tok/s")
+        detail["batched_fused_sam_tokens_per_s"] = round(bfs_tps, 2)
+        detail["batched_fused_sam_speedup"] = round(bfs_tps / ar_tps, 4)
+        detail["batch_size"] = 4
+    except Exception:
+        log("batched fused-sam section FAILED:\n" + traceback.format_exc())
 
     # --- INT8 batched fused-sam: the peak-throughput serving config -------
     # (int8 halves the per-step weight streaming that B=4 already shares
@@ -744,16 +770,22 @@ def main():
         FusedTokenRecycleEngine,
     )
 
-    ftr = FusedTokenRecycleEngine(
-        cfg, params, FusedTokenRecycleConfig(steps_per_call=256),
-        max_cache_len=MAX_CACHE, eos_token_id=-1, prefill_buckets=(128,))
-    ftr.generate(prompts[0][:64],
-                 GenerationConfig(max_new_tokens=4, max_cache_len=MAX_CACHE))
-    _, ftr_tok, ftr_steps, ftr_dt = timed_generate(ftr, all_prompts, gen)
-    ftr_tps = ftr_tok / ftr_dt
-    log(f"fused token-recycle: {ftr_tps:.1f} tok/s ({ftr_steps} steps)")
-    detail["fused_token_recycle_tokens_per_s"] = round(ftr_tps, 2)
-    detail["fused_token_recycle_speedup"] = round(ftr_tps / ar_tps, 4)
+    try:
+        ftr = FusedTokenRecycleEngine(
+            cfg, params, FusedTokenRecycleConfig(steps_per_call=256),
+            max_cache_len=MAX_CACHE, eos_token_id=-1,
+            prefill_buckets=(128,))
+        ftr.generate(prompts[0][:64],
+                     GenerationConfig(max_new_tokens=4,
+                                      max_cache_len=MAX_CACHE))
+        _, ftr_tok, ftr_steps, ftr_dt = timed_generate(ftr, all_prompts,
+                                                       gen)
+        ftr_tps = ftr_tok / ftr_dt
+        log(f"fused token-recycle: {ftr_tps:.1f} tok/s ({ftr_steps} steps)")
+        detail["fused_token_recycle_tokens_per_s"] = round(ftr_tps, 2)
+        detail["fused_token_recycle_speedup"] = round(ftr_tps / ar_tps, 4)
+    except Exception:
+        log("fused token-recycle section FAILED:\n" + traceback.format_exc())
 
     # --- FLAGSHIP: fused SAM-Decoding[Token Recycle] -----------------------
     # (reference README.md:55: 2.27x; policy samd/draft.py:52-63)
