@@ -65,8 +65,6 @@ class BatchedSamdEngine:
                  eos_token_id: int = 2,
                  stop_token_id: Optional[int] = None,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
-        assert not getattr(model_cfg, "kv_quant", False), \
-            "int8 KV is single-stream-engine only (slot prefill writes raw)"
         self.model_cfg = model_cfg
         self.params = params
         self.samd_cfg = samd_cfg
@@ -118,19 +116,12 @@ class BatchedSamdEngine:
             res = jax.vmap(greedy_accept)(logits, tokens, paths)
 
             # per-slot KV compaction (vmapped gather over the draft block)
-            def compact(kv):
-                def one(kv_b, off, idx):  # kv_b: [L, KH, S, D']
-                    blk = jax.lax.dynamic_slice(
-                        kv_b, (0, 0, off, 0),
-                        (kv_b.shape[0], kv_b.shape[1], M, kv_b.shape[3]))
-                    sel = jnp.take(blk, idx, axis=2)
-                    return jax.lax.dynamic_update_slice(
-                        kv_b, sel, (0, 0, off, 0))
-                return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(
-                    kv, cache_lens, res.path_nodes)
+            from .cache import compact_accepted_batched
 
-            kv_k = compact(kv_k)
-            kv_v = compact(kv_v)
+            kv_k = compact_accepted_batched(kv_k, cache_lens,
+                                            res.path_nodes, M)
+            kv_v = compact_accepted_batched(kv_v, cache_lens,
+                                            res.path_nodes, M)
             pack = jnp.concatenate([
                 res.accept_len[:, None], res.next_token[:, None],
                 res.accepted_tokens], axis=1).astype(jnp.int32)  # [B, D+2]
@@ -179,19 +170,10 @@ class BatchedSamdEngine:
             accepted = sel(s.accepted_tokens, g.accepted_tokens)
             next_token = sel(s.next_token, g.next_token)
 
-            def compact(kv):
-                def one(kv_b, off, idx):
-                    blk = jax.lax.dynamic_slice(
-                        kv_b, (0, 0, off, 0),
-                        (kv_b.shape[0], kv_b.shape[1], M, kv_b.shape[3]))
-                    selkv = jnp.take(blk, idx, axis=2)
-                    return jax.lax.dynamic_update_slice(
-                        kv_b, selkv, (0, 0, off, 0))
-                return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(
-                    kv, cache_lens, path_nodes)
+            from .cache import compact_accepted_batched
 
-            kv_k = compact(kv_k)
-            kv_v = compact(kv_v)
+            kv_k = compact_accepted_batched(kv_k, cache_lens, path_nodes, M)
+            kv_v = compact_accepted_batched(kv_v, cache_lens, path_nodes, M)
             pack = jnp.concatenate([
                 accept_len[:, None], next_token[:, None],
                 accepted], axis=1).astype(jnp.int32)
@@ -213,8 +195,10 @@ class BatchedSamdEngine:
             logits, hidden, fk, fv = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
                 jnp.int32(0), prefill_mask(1, P, S))
-            kv_k = jax.lax.dynamic_update_slice(kv_k, fk, (0, slot, 0, 0, 0))
-            kv_v = jax.lax.dynamic_update_slice(kv_v, fv, (0, slot, 0, 0, 0))
+            from .cache import update_slot
+
+            kv_k = update_slot(kv_k, fk, slot)
+            kv_v = update_slot(kv_v, fv, slot)
             last_logits = jax.lax.dynamic_index_in_dim(
                 logits[0], true_len - 1, axis=0, keepdims=False)
             next_token = jnp.argmax(last_logits).astype(jnp.int32)
@@ -398,6 +382,9 @@ class PagedBatchedSamdEngine(BatchedSamdEngine):
         if getattr(self.model_cfg, "kv_layout", "sd") != "sd":
             raise ValueError("the paged engine manages its own (transposed) "
                              "page layout; use kv_layout='sd' model configs")
+        if getattr(self.model_cfg, "kv_quant", False):
+            raise ValueError("the paged page pool is bf16; int8 KV covers "
+                             "the dense-cache engines")
         self.pool = PagedKVPool(self.model_cfg, n_pages=n_pages,
                                 page_size=page_size, layout="dp")
         self.page_size = page_size

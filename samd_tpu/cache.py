@@ -97,6 +97,44 @@ def init_kv_cache(cfg: ModelConfig, batch: int, max_cache_len: int,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def update_slot(kv: KV, fk: KV, slot: jax.Array) -> KV:
+    """Write a single-request cache (batch axis of size 1) into ``slot`` of
+    a batched cache — continuous-batching admission.  Dispatches on
+    QuantizedKV (q and scale written separately)."""
+    if isinstance(kv, QuantizedKV):
+        return QuantizedKV(update_slot(kv.q, fk.q, slot),
+                           update_slot(kv.scale, fk.scale, slot))
+    starts = (jnp.int32(0), slot) + (jnp.int32(0),) * (kv.ndim - 2)
+    return jax.lax.dynamic_update_slice(kv, fk, starts)
+
+
+def compact_accepted_batched(kv: KV, offsets: jax.Array,
+                             indices: jax.Array, block_size: int, *,
+                             seq_axis: int = 3) -> KV:
+    """Per-slot gather-compaction over a batched cache [L, B, KH, S, D]
+    ("sd"; seq_axis counts WITH the batch axis).  offsets: [B]; indices:
+    [B, A] block-relative accepted positions per slot."""
+    if isinstance(kv, QuantizedKV):
+        return QuantizedKV(
+            compact_accepted_batched(kv.q, offsets, indices, block_size,
+                                     seq_axis=seq_axis),
+            compact_accepted_batched(kv.scale, offsets, indices, block_size,
+                                     seq_axis=kv.scale.ndim - 1))
+    sa = seq_axis - 1   # the per-slot slice drops the batch axis (axis 1)
+
+    def one(kv_b, off, idx):
+        starts = [0] * kv_b.ndim
+        starts[sa] = off
+        sizes = list(kv_b.shape)
+        sizes[sa] = block_size
+        blk = jax.lax.dynamic_slice(kv_b, starts, sizes)
+        sel = jnp.take(blk, idx, axis=sa)
+        return jax.lax.dynamic_update_slice(kv_b, sel, starts)
+
+    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(kv, offsets,
+                                                        indices)
+
+
 def compact_accepted(kv: KV, offset: jax.Array, indices: jax.Array,
                      block_size: int, *, seq_axis: int = 3) -> KV:
     """Compact accepted draft positions to the front of the draft block.

@@ -367,8 +367,6 @@ class BatchedFusedHybridEngine:
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
         assert getattr(model_cfg, "kv_layout", "sd") == "sd", \
             "batched hybrid compaction assumes the sd cache layout"
-        assert not getattr(model_cfg, "kv_quant", False), \
-            "int8 KV is single-stream-engine only (slot prefill writes raw)"
         self.model_cfg = model_cfg
         self.params = params
         # short segments: admission granularity for continuous batching
@@ -420,12 +418,14 @@ class BatchedFusedHybridEngine:
                     true_len, slot):
             from .cache import init_kv_cache
 
+            from .cache import update_slot
+
             fk, fv = init_kv_cache(cfg, 1, S)
             logits, _, fk, fv = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
                 jnp.int32(0), prefill_mask(1, P, S))
-            kv_k = jax.lax.dynamic_update_slice(kv_k, fk, (0, slot, 0, 0, 0))
-            kv_v = jax.lax.dynamic_update_slice(kv_v, fv, (0, slot, 0, 0, 0))
+            kv_k = update_slot(kv_k, fk, slot)
+            kv_v = update_slot(kv_v, fv, slot)
             topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
             rows = jnp.where(jnp.arange(P) < true_len, tokens, V)
             hrow = jax.lax.dynamic_slice(harvests, (slot, 0, 0),
@@ -535,20 +535,12 @@ class BatchedFusedHybridEngine:
                     bonus = jnp.where(samp_flags, res_s.next_token, bonus)
 
                 # per-slot KV gather-compaction of the winning path
-                def compact(kv):
-                    def one(kv_b, off, idx):     # kv_b: [L, KH, S, D]
-                        blk = jax.lax.dynamic_slice(
-                            kv_b, (0, 0, off, 0),
-                            (kv_b.shape[0], kv_b.shape[1], M,
-                             kv_b.shape[3]))
-                        sel = jnp.take(blk, idx, axis=2)
-                        return jax.lax.dynamic_update_slice(
-                            kv_b, sel, (0, 0, off, 0))
-                    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(
-                        kv, hist_lens, path_nodes)
+                from .cache import compact_accepted_batched
 
-                kv_k = compact(kv_k)
-                kv_v = compact(kv_v)
+                kv_k = compact_accepted_batched(kv_k, hist_lens,
+                                                path_nodes, M)
+                kv_v = compact_accepted_batched(kv_v, hist_lens,
+                                                path_nodes, M)
                 # Token-Recycle harvest of the whole block (live slots only:
                 # a dead slot's stale logits must not scribble tables a
                 # re-admitted request would inherit)

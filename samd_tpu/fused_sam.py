@@ -422,8 +422,6 @@ class BatchedFusedSamEngine:
                  batch_size: int = 4, max_cache_len: int = 2048,
                  eos_token_id: int = 2,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
-        assert not getattr(model_cfg, "kv_quant", False), \
-            "int8 KV is single-stream-engine only (slot prefill writes raw)"
         self.model_cfg = model_cfg
         self.params = params
         # short segments by default: steps_per_call is the admission
@@ -468,8 +466,10 @@ class BatchedFusedSamEngine:
             logits, _, fk, fv = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
                 jnp.int32(0), prefill_mask(1, P, S))
-            kv_k2 = jax.lax.dynamic_update_slice(kv_k, fk, (0, slot, 0, 0, 0))
-            kv_v2 = jax.lax.dynamic_update_slice(kv_v, fv, (0, slot, 0, 0, 0))
+            from .cache import update_slot
+
+            kv_k2 = update_slot(kv_k, fk, slot)
+            kv_v2 = update_slot(kv_v, fv, slot)
             row = jnp.zeros((1, S), jnp.int32)
             row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
             histories = jax.lax.dynamic_update_slice(histories, row, (slot, 0))

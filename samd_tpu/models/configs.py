@@ -58,10 +58,10 @@ class ModelConfig:
     #          no per-layer transpose; XLA attention handles it via einsum)
     kv_layout: str = "sd"
     # INT8 KV cache (cache.QuantizedKV): int8 values + one fp32 scale per
-    # (token, kv-head).  Halves KV footprint and attention read traffic;
-    # trajectories differ from the bf16 cache's (near-tie argmaxes), so
-    # greedy-equality oracles must share the flag.  Single-stream engines
-    # + XLA attention path (flash/paged kernels consume bf16 KV).
+    # (token, kv-head).  Halves KV footprint; trajectories differ from the
+    # bf16 cache's (near-tie argmaxes), so greedy-equality oracles must
+    # share the flag.  All dense-cache engines (single-stream + batched);
+    # the flash kernel dequantizes in-register, the paged pool stays bf16.
     kv_quant: bool = False
 
     @property

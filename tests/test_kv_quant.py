@@ -195,3 +195,52 @@ def test_fused_sam_kv_quant_flash_lossless(qmodel):
                          prefill_buckets=(32,))
     p = np.random.default_rng(7).integers(3, 128, size=20).tolist()
     assert eng.generate(p, gen).output_ids == ar.generate(p, gen).output_ids
+
+
+def test_batched_fused_sam_kv_quant_lossless(qmodel):
+    """Batched slots over an int8 KV pool (update_slot admission): every
+    greedy output equals the int8-KV block-AR oracle's."""
+    from samd_tpu.fused_sam import BatchedFusedSamEngine, FusedSamConfig
+
+    cfg, params = qmodel
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=8)
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(3, 128, size=int(rng.integers(10, 20))).tolist()
+               for _ in range(3)]
+    refs = [ar.generate(p, gen).output_ids for p in prompts]
+    eng = BatchedFusedSamEngine(
+        cfg, params, FusedSamConfig(n_predicts=7, steps_per_call=4),
+        batch_size=2, max_cache_len=256, eos_token_id=-1,
+        prefill_buckets=(32,))
+    rids = [eng.add_request(p, gen) for p in prompts]
+    outs = eng.run()
+    for rid, ref in zip(rids, refs):
+        assert outs[rid].output_ids == ref
+
+
+def test_batched_hybrid_kv_quant_lossless(qmodel):
+    """Batched trees + int8-KV compaction (compact_accepted_batched)."""
+    from samd_tpu.fused_hybrid import (BatchedFusedHybridEngine,
+                                       FusedHybridConfig)
+
+    cfg, params = qmodel
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    hy = FusedHybridConfig(max_ngram=4, ext=12, n_predicts=8,
+                           len_threshold=2, len_bias=0, tree_nodes=13,
+                           topk=4, max_block=16, corpus_capacity=1024,
+                           steps_per_call=4)
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=16)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 128, size=int(rng.integers(10, 20))).tolist()
+               for _ in range(3)]
+    refs = [ar.generate(p, gen).output_ids for p in prompts]
+    eng = BatchedFusedHybridEngine(cfg, params, hy, batch_size=2,
+                                   max_cache_len=256, eos_token_id=-1,
+                                   prefill_buckets=(32,))
+    rids = [eng.add_request(p, gen) for p in prompts]
+    outs = eng.run()
+    for rid, ref in zip(rids, refs):
+        assert outs[rid].output_ids == ref
