@@ -377,6 +377,35 @@ def main():
         "fused_sam_ms_per_step": round(fs_ms, 3),
         "fused_sam_overlap_trajectory_equal": fs_equal == 2,
     })
+    # sampling mode (speculative rejection, T=0.8): distribution-preserving
+    # acceptance costs ~nothing next to the forward — compare ms/step to
+    # the greedy row (tok/s is lower only because the greedy-built corpus
+    # cannot match a sampled trajectory, so retrieval rarely hits; accept
+    # falls to ~1)
+    try:
+        gen_s = GenerationConfig(max_new_tokens=NEW_TOKENS,
+                                 max_cache_len=MAX_CACHE, greedy=False,
+                                 temperature=0.8, seed=1)
+        log("fused-sam sampling warmup/compile...")
+        fs.generate(warm_prompt, GenerationConfig(
+            max_new_tokens=8, max_cache_len=MAX_CACHE, greedy=False,
+            temperature=0.8, seed=1))
+        s_outs, s_tok, s_steps, s_dt = timed_generate(fs, all_prompts,
+                                                      gen_s)
+        s_tps = s_tok / s_dt
+        log(f"fused-sam sampling (T=0.8): {s_tps:.1f} tok/s, accept "
+            f"{s_tok / max(s_steps, 1):.2f}, "
+            f"{1000 * s_dt / max(s_steps, 1):.2f} ms/step")
+        detail.update({
+            "fused_sam_sampling_tokens_per_s": round(s_tps, 2),
+            "fused_sam_sampling_mean_accept":
+                round(s_tok / max(s_steps, 1), 3),
+            "fused_sam_sampling_ms_per_step":
+                round(1000 * s_dt / max(s_steps, 1), 3),
+        })
+    except Exception:
+        log("sampling section FAILED:\n" + traceback.format_exc())
+
     # time-to-first-token: prefill (96 -> bucket 128) + one decode step +
     # host overheads; same compiled programs as above (budget=1 exits the
     # fused loop after one iteration)
