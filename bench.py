@@ -15,11 +15,15 @@ Speedup = engine tokens/s ÷ AR tokens/s, same prompts, greedy, bs=1, both
 sides timed best-of-2 (the TPU tunnel's per-call latency varies run to run;
 greedy outputs are deterministic across repeats).  Losslessness: outputs are
 asserted token-identical to an ``ArBaseline(block_size=M)`` oracle compiled
-with the same block shape M as the engine under test.  Prints ONE JSON line
-to stdout; progress goes to stderr.
+with the same block shape M as the engine under test.
+
+Artifact protocol (evaluation/bench_emit.py): after EVERY section a compact
+(<1800 char) headline JSON line is printed to stdout and the full detail is
+rewritten to ``bench_detail.json`` — the driver's 2000-char tail capture
+always contains the last complete line, and a crash/OOM in section N still
+leaves sections 1..N-1 parsed.  Progress goes to stderr.
 """
 
-import json
 import sys
 import time
 import traceback
@@ -92,6 +96,11 @@ def main():
     overlap_prompts, fresh_prompts = prompts[:N_PROMPTS], prompts[N_PROMPTS:]
     all_prompts = overlap_prompts + fresh_prompts
     detail = {}
+    # emits a compact (<1800 char) stdout line + rewrites bench_detail.json
+    # after EVERY section: a crash/OOM in section N leaves 1..N-1 parsed
+    from samd_tpu.evaluation.bench_emit import BenchEmitter
+
+    em = BenchEmitter(detail)
     warm_prompt = prompts[0][:64] + prompts[0][:32]
 
     # --- AR speed baseline (efficient 1-token steps) ----------------------
@@ -105,6 +114,7 @@ def main():
         f"({1000 * ar_dt / max(ar_steps, 1):.1f} ms/step)")
     detail["ar_tokens_per_s"] = round(ar_tps, 2)
     detail["ar_ms_per_step"] = round(1000 * ar_dt / max(ar_steps, 1), 2)
+    em.emit()
 
     # --- AR equality oracles (same block kernels as the engines) ----------
     M = 60        # host samd + fused-sam block
@@ -157,6 +167,7 @@ def main():
         "mean_accepted_tokens": round(mean_accept, 3),
         "greedy_outputs_equal": mismatches == 0,
     })
+    em.emit()
 
     # --- GSPMD overhead probe: the same host engine under a 1-chip mesh ---
     # Multi-chip TP/PP is validated on the virtual CPU mesh (only one real
@@ -190,6 +201,7 @@ def main():
         del eng_tp
     except Exception:
         log("tp=1 GSPMD section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- interleaved host samd: N exact-automaton lanes, overlapped fetches -
     # (the host engine's per-step blocking fetch costs ~1 RTT of idle device;
@@ -233,6 +245,7 @@ def main():
         })
     except Exception:
         log("interleaved host section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- SAM-Decoding[Token Recycle] host hybrid (reference scripts/
     #     inference_samd.sh: n_predicts=40 len_threshold=5 len_bias=5) -------
@@ -262,6 +275,7 @@ def main():
         "token_recycle_outputs_equal": tr_equal == len(oracle_outs),
         "token_recycle_equal_count": f"{tr_equal}/{len(oracle_outs)}",
     })
+    em.emit()
 
     # --- continuous batching throughput (B=4, same prompt mix) ------------
     # Each batched engine gets a corpus from its OWN trajectory: batched /
@@ -310,6 +324,7 @@ def main():
         "batched samd (B=4, own corpus)")
     detail["batched_samd_tokens_per_s"] = round(btps, 2)
     detail["batched_samd_mean_accept"] = round(bacc, 3)
+    em.emit()
 
     # --- paged serving at B=4 (page-table-consuming attention kernel) -----
     try:
@@ -328,6 +343,7 @@ def main():
         detail["paged_kv_slots_vs_dense"] = f"{49 * 128}/{4 * MAX_CACHE}"
     except Exception:
         log("paged batched section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- device-resident fused PLD (zero per-step host traffic) -----------
     from samd_tpu.pld import PldConfig, PldEngine
@@ -343,6 +359,7 @@ def main():
     log(f"pld fused: {pld_tps:.1f} tok/s ({pld_steps} steps)")
     detail["pld_fused_tokens_per_s"] = round(pld_tps, 2)
     detail["pld_fused_speedup"] = round(pld_tps / ar_tps, 4)
+    em.emit()
 
     # --- fused SAM-style retrieval engine (flagship serving mode) ---------
     from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
@@ -373,10 +390,15 @@ def main():
         f"{fs_ms:.2f} ms/step, overlap trajectory equal {fs_equal}/2")
     detail.update({
         "fused_sam_tokens_per_s": round(fs_tps, 2),
+        "fused_sam_speedup": round(fs_tps / ar_tps, 4),
         "fused_sam_mean_accept": round(fs_accept, 3),
         "fused_sam_ms_per_step": round(fs_ms, 3),
         "fused_sam_overlap_trajectory_equal": fs_equal == 2,
     })
+    # the headline metric is known from here on; every later emit carries it
+    em.value = round(fs_tps / ar_tps, 4)
+    em.vs_baseline = round(fs_tps / ar_tps / 1.84, 4)
+    em.emit()
     # sampling mode (speculative rejection, T=0.8): distribution-preserving
     # acceptance costs ~nothing next to the forward — compare ms/step to
     # the greedy row (tok/s is lower only because the greedy-built corpus
@@ -405,6 +427,7 @@ def main():
         })
     except Exception:
         log("sampling section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # time-to-first-token: prefill (96 -> bucket 128) + one decode step +
     # host overheads; same compiled programs as above (budget=1 exits the
@@ -415,6 +438,7 @@ def main():
                for _ in range(3))
     log(f"flagship TTFT (prefill 96 + 1 step): {1000 * ttft:.2f} ms")
     detail["flagship_ttft_ms"] = round(1000 * ttft, 2)
+    em.emit()
 
     # --- INT8 weight-only fused-sam, measured against its own INT8 oracle --
     # INT8 matmuls change near-tie argmaxes, so the INT8 engine's trajectory
@@ -460,6 +484,7 @@ def main():
         })
     except Exception:
         log("int8 section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- 7B-class INT8: production scale on ONE chip ----------------------
     # bf16 7B (13.5 GB) does not fit a 16 GB v5e next to the bench's other
@@ -524,6 +549,7 @@ def main():
     params7 = ar7 = p7 = f7 = b7p = b7 = None
     import gc
     gc.collect()
+    em.emit()
 
     # --- batched fused-sam (batching × fusion) ----------------------------
     from samd_tpu.fused_sam import BatchedFusedSamEngine
@@ -550,6 +576,7 @@ def main():
         detail["batch_size"] = 4
     except Exception:
         log("batched fused-sam section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- INT8 batched fused-sam: the peak-throughput serving config -------
     # (int8 halves the per-step weight streaming that B=4 already shares
@@ -637,6 +664,7 @@ def main():
             b8_tok / max(b8_steps, 1), 3)
     except Exception:
         log("int8 batched section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- int8 batched fused HYBRID (B=8): continuous batching × the
     #     flagship SAM[Token Recycle] drafter — the peak-throughput config
@@ -695,6 +723,7 @@ def main():
         del bh_probe, bh
     except Exception:
         log("int8 batched hybrid section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- corpus-scale retrieval: 1M-token corpus through the n-gram index --
     # (reference corpora are millions of tokens, tools/gen_sam_alpaca.py;
@@ -735,6 +764,7 @@ def main():
         })
     except Exception:
         log("1M-corpus section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- long-cache serving: flash kernel v2 vs XLA at S=8192 -------------
     # XLA attention reads the whole padded [S] axis every step; the v2
@@ -792,6 +822,7 @@ def main():
             lc_rows["flash"] / lc_rows["xla"], 3)
     except Exception:
         log("long-cache section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- device-resident fused Token-Recycle ------------------------------
     from samd_tpu.token_recycle_fused import (
@@ -815,6 +846,7 @@ def main():
         detail["fused_token_recycle_speedup"] = round(ftr_tps / ar_tps, 4)
     except Exception:
         log("fused token-recycle section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- FLAGSHIP: fused SAM-Decoding[Token Recycle] -----------------------
     # (reference README.md:55: 2.27x; policy samd/draft.py:52-63)
@@ -912,6 +944,7 @@ def main():
         })
     except Exception:
         log("fused hybrid TR section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- fused EAGLE-2 (untrained draft net: mechanics + timing only) ------
     # With seeded-random net weights the beam's predictions almost never
@@ -943,6 +976,7 @@ def main():
         })
     except Exception:
         log("fused EAGLE-2 section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- FLAGSHIP: fused SAM-Decoding[EAGLE-2] ------------------------------
     # (reference README.md:57: 2.58x — its strongest configuration)
@@ -983,6 +1017,7 @@ def main():
         })
     except Exception:
         log("fused hybrid EAGLE section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- model families: Qwen2 / MoE trunks through the same engine -------
     # The reference serves Qwen2/Mixtral targets via vendored modeling
@@ -1029,6 +1064,7 @@ def main():
             del fam_params, f_probe, feng
         except Exception:
             log(f"{fam} family section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
     # --- trained-weights acceptance (tiny model, honest accept numbers) ---
     # Every row above runs random weights (mechanics only).  This trains a
@@ -1058,7 +1094,13 @@ def main():
         })
     except Exception:
         log("trained-accept section FAILED:\n" + traceback.format_exc())
+    em.emit()
 
+    # Synthetic-workload engine-mechanics speedup, NOT a Spec-Bench claim:
+    # random 1B weights, corpus = oracle's own outputs on the overlap
+    # prompts.  Reference Spec-Bench baselines live in BASELINE.md;
+    # real-checkpoint parity needs real weights.  The final stdout line is
+    # the compact headline (full detail in bench_detail.json).
     speedup = fs_tps / ar_tps
     detail.update({
         "model": "llama-1b-random-bf16",
@@ -1067,18 +1109,9 @@ def main():
         "new_tokens_each": NEW_TOKENS,
         "timing": "best_of_2_all_timed_rows",
     })
-    result = {
-        # Synthetic-workload engine-mechanics speedup, NOT a Spec-Bench
-        # claim: random 1B weights, corpus = oracle's own outputs on the
-        # overlap prompts.  Reference Spec-Bench baselines live in
-        # BASELINE.md; real-checkpoint parity needs real weights.
-        "metric": "fused_sam_speedup_vs_own_ar_synthetic_1b",
-        "value": round(speedup, 4),
-        "unit": "x",
-        "vs_baseline": round(speedup / 1.84, 4),
-        "detail": detail,
-    }
-    print(json.dumps(result), flush=True)
+    em.value = round(speedup, 4)
+    em.vs_baseline = round(speedup / 1.84, 4)
+    em.emit(complete=True)
 
 
 if __name__ == "__main__":
