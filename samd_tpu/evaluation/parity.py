@@ -126,6 +126,12 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--indexed", action="store_true")
     p.add_argument("--bucket-cap", type=int, default=8)
+    p.add_argument("--grams", type=int, nargs="+", default=[8, 4, 2, 1],
+                   help="gram sizes; sizes > max_ngram hash the query+tail "
+                        "window (the repetition mitigation)")
+    p.add_argument("--keep-latest", type=int, default=0,
+                   help="dual-probe: extra per-bucket table of the LATEST "
+                        "N positions")
     args = p.parse_args(argv)
 
     from samd_tpu.testing import force_cpu
@@ -153,9 +159,13 @@ def main(argv: Optional[List[str]] = None):
     if args.indexed:
         from samd_tpu.ops.ngram_index import build_ngram_index
 
-        index = build_ngram_index(corpus, bucket_cap=args.bucket_cap)
+        index = build_ngram_index(corpus, bucket_cap=args.bucket_cap,
+                                  grams=args.grams,
+                                  keep_latest=args.keep_latest)
     rep = parity_report(corpus, traj, index=index)
     rep["mode"] = "indexed" if args.indexed else "windowed"
+    rep["grams"] = args.grams if args.indexed else None
+    rep["keep_latest"] = args.keep_latest if args.indexed else None
     rep["corpus_size"] = len(corpus)
     print(json.dumps(rep, indent=2))
 

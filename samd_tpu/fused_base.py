@@ -68,9 +68,12 @@ def build_optional_index(corpus, cfg):
         return None
     from .ops.ngram_index import build_ngram_index
 
+    window = cfg.max_ngram + cfg.ext
+    grams = tuple(g for g in cfg.index_grams if g <= window)
     return build_ngram_index(
         np.asarray(corpus[:cfg.corpus_capacity], np.int32),
-        grams=cfg.index_grams, bucket_cap=cfg.index_bucket_cap)
+        grams=grams, bucket_cap=cfg.index_bucket_cap,
+        keep_latest=getattr(cfg, "index_keep_latest", 0))
 
 
 def load_corpus_buffer(corpus, capacity: int) -> Tuple[jax.Array, jax.Array]:

@@ -21,12 +21,24 @@ Cost per step: O(len(grams) * bucket_cap * (max_ngram + ext)) corpus loads
 (~10^4) regardless of corpus size — sub-millisecond at HBM bandwidth for
 corpora of tens of millions of tokens.
 
-Approximation vs the exact automaton: a bucket stores only its earliest
-``bucket_cap`` positions, so on heavily repetitive corpora the true longest
-match can live at an evicted position and the probe returns a shorter (or
-later) match.  Greedy outputs stay exactly the AR baseline's (verification);
-only accept length can degrade.  ``tests/test_ngram_index.py`` quantifies the
-divergence against the exact automaton.
+Approximation vs the exact automaton: a bucket stores only ``bucket_cap``
+positions, so on heavily repetitive corpora the true longest match can live
+at an evicted position and the probe returns a shorter (or later) match.
+Greedy outputs stay exactly the AR baseline's (verification); only accept
+length can degrade.  Two mitigations (round-2 verdict #7; measured in
+docs/PERFORMANCE.md "Indexed retrieval parity"):
+
+  * **long grams** — gram sizes may exceed the engine's ``max_ngram``: the
+    probe hashes over the full query+tail window (up to ``max_ngram + ext``
+    tokens), so a 16/32-gram bucket disambiguates exactly the repetitions
+    that overflow an 8-gram bucket.  This is the default mitigation
+    (``FusedSamConfig.index_grams``).
+  * **dual probe** (``keep_latest``) — per bucket an extra table keeps the
+    LATEST positions too, doubling stored-position diversity for recency-
+    skewed workloads.
+
+``tests/test_ngram_index.py`` quantifies the divergence against the exact
+automaton; ``evaluation/parity.py --indexed`` is the measurement harness.
 """
 
 from __future__ import annotations
@@ -56,10 +68,13 @@ class NgramIndex:
     grams: Tuple[int, ...]            # gram sizes, descending (e.g. 8, 4, 2, 1)
     bucket_cap: int
     tables: Tuple[jax.Array, ...]     # per gram: [num_buckets, cap] int32, -1 pad
+    # optional dual-probe tables holding the LATEST positions per bucket
+    latest_tables: Tuple[jax.Array, ...] = ()
 
     @property
     def num_candidates(self) -> int:
-        return len(self.grams) * self.bucket_cap
+        per = self.bucket_cap * (2 if self.latest_tables else 1)
+        return len(self.grams) * per
 
 
 def _hash_ngrams_np(tokens: np.ndarray, n: int) -> np.ndarray:
@@ -77,16 +92,22 @@ def _hash_ngrams_np(tokens: np.ndarray, n: int) -> np.ndarray:
 def build_ngram_index(corpus: Sequence[int], *,
                       grams: Sequence[int] = (8, 4, 2, 1),
                       bucket_cap: int = 8,
-                      num_buckets: int = 0) -> NgramIndex:
+                      num_buckets: int = 0,
+                      keep_latest: int = 0) -> NgramIndex:
     """Build the index on the host (vectorized numpy; ~linear in corpus size).
 
-    num_buckets=0 picks next_pow2(len(corpus)) (load factor ~1)."""
+    num_buckets=0 picks next_pow2(len(corpus)) (load factor ~1).
+    keep_latest>0 additionally stores, per bucket, the LATEST keep_latest
+    positions (dual-probe mitigation for repetitive corpora)."""
     tokens = np.ascontiguousarray(corpus, dtype=np.int32)
     N = len(tokens)
     nb = num_buckets or max(_next_pow2(N), 1024)
     tables = []
+    latest = []
     for n in sorted(set(int(g) for g in grams), reverse=True):
         table = np.full((nb, bucket_cap), -1, np.int32)
+        ltable = np.full((nb, keep_latest), -1, np.int32) if keep_latest \
+            else None
         if N >= n:
             h = _hash_ngrams_np(tokens, n)
             buckets = (h & np.uint32(nb - 1)).astype(np.int64)
@@ -99,18 +120,29 @@ def build_ngram_index(corpus: Sequence[int], *,
             rank = np.arange(len(sb)) - starts[sb]
             keep = rank < bucket_cap
             table[sb[keep], rank[keep]] = sp[keep].astype(np.int32)
+            if keep_latest:
+                counts = np.searchsorted(sb, np.arange(nb), side="right") \
+                    - starts
+                from_end = counts[sb] - 1 - rank
+                keep_l = from_end < keep_latest
+                ltable[sb[keep_l], from_end[keep_l]] = \
+                    sp[keep_l].astype(np.int32)
         tables.append(jnp.asarray(table))
+        if keep_latest:
+            latest.append(jnp.asarray(ltable))
     gs = tuple(sorted(set(int(g) for g in grams), reverse=True))
-    return NgramIndex(grams=gs, bucket_cap=bucket_cap, tables=tuple(tables))
+    return NgramIndex(grams=gs, bucket_cap=bucket_cap, tables=tuple(tables),
+                      latest_tables=tuple(latest))
 
 
-def _hash_query_jnp(window: jax.Array, n: int) -> jax.Array:
-    """Hash of the query's trailing n-gram.  ``window``/[W] is oldest-first
-    (window[-1] = newest token)."""
+def _hash_window_jnp(win: jax.Array, n: int) -> jax.Array:
+    """Hash of the n-gram ending at the newest token.  ``win``/[W] is
+    NEWEST-first (win[0] = newest); the hash accumulates oldest-first to
+    match ``_hash_ngrams_np``."""
     h = jnp.uint32(0)
     mult = jnp.uint32(_MULT)
     for j in range(n):
-        h = h * mult + window[window.shape[0] - n + j].astype(jnp.uint32)
+        h = h * mult + win[n - 1 - j].astype(jnp.uint32)
     return h
 
 
@@ -125,7 +157,9 @@ def indexed_suffix_match(corpus: jax.Array, corpus_len: jax.Array,
     ``max_ngram + ext``.
 
     query: [Q] trailing window, -1 left-padded, query[-1] = start token.
-    tail:  [ext] tokens preceding the window (newest last, -1 padded)."""
+    tail:  [ext] tokens preceding the window (newest last, -1 padded).
+    Gram sizes may exceed ``max_ngram`` (up to ``max_ngram + ext``): their
+    hashes draw from the tail window too."""
     Q = max_ngram
     W = Q + ext
     L = corpus.shape[0]
@@ -137,17 +171,20 @@ def indexed_suffix_match(corpus: jax.Array, corpus_len: jax.Array,
     tail_valid = jnp.arange(ext) < tail_len
     win = jnp.concatenate([win_q, jnp.where(tail_valid, tail_rev, -1)])
 
-    # candidate end positions from every gram table (one bucket probe each).
-    # a probe is valid only when the query actually has n live tokens.
-    q_live = jnp.sum((query >= 0).astype(jnp.int32))
+    # candidate end positions from every gram table (one bucket probe per
+    # table).  a probe is valid only when the window has n live tokens.
+    live = jnp.sum((win >= 0).astype(jnp.int32))
     cands = []
-    for n, table in zip(index.grams, index.tables):
-        nb = table.shape[0]
-        h = _hash_query_jnp(query, n)
-        bucket = (h & jnp.uint32(nb - 1)).astype(jnp.int32)
-        c = table[bucket]                            # [cap]
-        c = jnp.where(q_live >= n, c, -1)
-        cands.append(c)
+    for i, n in enumerate(index.grams):
+        if n > W:
+            continue  # cannot verify past the window; skip (build-time lint)
+        h = _hash_window_jnp(win, n)
+        for table in (index.tables[i],) + (
+                (index.latest_tables[i],) if index.latest_tables else ()):
+            nb = table.shape[0]
+            bucket = (h & jnp.uint32(nb - 1)).astype(jnp.int32)
+            c = table[bucket]                        # [cap]
+            cands.append(jnp.where(live >= n, c, -1))
     e = jnp.concatenate(cands)                       # [C]
 
     # exact backward compare: corpus[e - j] vs win[j]
