@@ -58,8 +58,9 @@ class FusedHybridConfig:
     approx_harvest: bool = True
     # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
     indexed: bool = False
-    index_grams: tuple = (8, 4, 2, 1)
+    index_grams: tuple = (32, 16, 8, 7, 6, 5, 4, 3, 2, 1)
     index_bucket_cap: int = 8
+    index_keep_latest: int = 0
 
 
 def build_tr_topology(tree_nodes: int, topk: int):
@@ -359,14 +360,15 @@ class BatchedFusedHybridEngine:
     counterpart at all; per-slot state here is what its global
     ForwardState/monkey-patching could not express."""
 
+    # set by the paged subclass: (page_size, scratch_page, interpret)
+    _paged_cfg = None
+
     def __init__(self, model_cfg: ModelConfig, params: Params,
                  hy_cfg: Optional[FusedHybridConfig] = None, *,
                  corpus: Optional[Sequence[int]] = None,
                  batch_size: int = 4, max_cache_len: int = 2048,
                  eos_token_id: int = 2,
                  prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
-        assert getattr(model_cfg, "kv_layout", "sd") == "sd", \
-            "batched hybrid compaction assumes the sd cache layout"
         self.model_cfg = model_cfg
         self.params = params
         # short segments: admission granularity for continuous batching
@@ -381,11 +383,9 @@ class BatchedFusedHybridEngine:
         (self.tr_parents, self.tr_depths, self.tr_children,
          self.tr_rank) = build_tr_topology(self.cfg.tree_nodes,
                                            self.cfg.topk)
-        from .cache import init_kv_cache
         from .fused_base import build_optional_index, load_corpus_buffer
 
-        self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
-                                             max_cache_len)
+        self._init_kv()
         V = model_cfg.vocab_size
         self.harvests = jnp.zeros((batch_size, V + 1, self.cfg.topk),
                                   jnp.int32)
@@ -407,6 +407,46 @@ class BatchedFusedHybridEngine:
         self.queue = []
         self.results = {}
         self._next_id = 0
+
+    # -- subclass hooks (paged variant swaps the KV backend) --------------
+    def _init_kv(self):
+        from .cache import init_kv_cache
+
+        assert getattr(self.model_cfg, "kv_layout", "sd") == "sd", \
+            "batched hybrid compaction assumes the sd cache layout"
+        self.kv_k, self.kv_v = init_kv_cache(self.model_cfg, self.B, self.S)
+
+    def _prefill_slot(self, slot: int, ids):
+        P = _bucket(len(ids), self.prefill_buckets)
+        if P not in self._prefill_fns:
+            self._prefill_fns[P] = self._build_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(ids)] = ids
+        (self.kv_k, self.kv_v, self.harvests, self.seens,
+         self.histories, nt, last_logits) = self._prefill_fns[P](
+            self.params, self.kv_k, self.kv_v, self.harvests,
+            self.seens, self.histories, jnp.asarray(padded),
+            jnp.int32(len(ids)), jnp.int32(slot))
+        return nt, last_logits
+
+    def _pre_segment(self, hist_lens, actives) -> None:
+        pass
+
+    def _fused_extra_args(self) -> tuple:
+        return ()
+
+    def _release_slot(self, slot: int) -> None:
+        pass
+
+    def _should_retry_slot(self, slot: int, hist_len: int,
+                           budget: int) -> bool:
+        return False
+
+    def _post_segment(self, stepped: int) -> None:
+        pass
+
+    def _can_admit(self, ids) -> bool:
+        return True
 
     # ------------------------------------------------------------------
     def _build_prefill(self, P: int):
@@ -483,11 +523,21 @@ class BatchedFusedHybridEngine:
             tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
             return match, tokens
 
+        paged = self._paged_cfg
+
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def fused(params, kv_k, kv_v, harvests, seens, histories, hist_lens,
                   starts, budgets, actives, eos_id, keys, samp_flags,
-                  refill):
-            init_lives = actives & (budgets > 0) & (hist_lens + M <= S)
+                  refill, tables=None, alloc_limits=None):
+            if paged is None:
+                alloc_limits = S
+                paged_aux = None
+            else:
+                from .paged_kv import PagedAux
+
+                paged_aux = PagedAux(tables, paged[1], paged[2])
+            init_lives = actives & (budgets > 0) & \
+                (hist_lens + M <= alloc_limits)
 
             def cond(st):
                 (kv_k, kv_v, harvests, seens, histories, hist_lens, starts,
@@ -511,12 +561,20 @@ class BatchedFusedHybridEngine:
                                    axis=1)                   # [B, 2, M]
                 toks, tree_mask, depths, paths = jax.vmap(
                     lambda d: unpack_draft(d, M))(packed)
-                masks = jax.vmap(
-                    lambda tm, hl: block_decode_mask(tm, hl, S)[0]
-                )(tree_mask, hist_lens)                      # [B, M, S]
+                if paged is None:
+                    masks = jax.vmap(
+                        lambda tm, hl: block_decode_mask(tm, hl, S)[0]
+                    )(tree_mask, hist_lens)                  # [B, M, S]
+                else:
+                    from .ops.paged_attention import boundary_mask_window
+
+                    masks = jax.vmap(
+                        lambda tm, hl: boundary_mask_window(tm, hl,
+                                                            paged[0])
+                    )(tree_mask, hist_lens)                  # [B,M,W·page]
                 logits, _, kv_k, kv_v = forward(
                     params, cfg, toks, depths + hist_lens[:, None],
-                    kv_k, kv_v, hist_lens, masks)
+                    kv_k, kv_v, hist_lens, masks, paged=paged_aux)
                 res = jax.vmap(greedy_accept)(logits, draft_tokens, paths)
                 alens = res.accept_len
                 path_nodes = res.path_nodes
@@ -535,12 +593,20 @@ class BatchedFusedHybridEngine:
                     bonus = jnp.where(samp_flags, res_s.next_token, bonus)
 
                 # per-slot KV gather-compaction of the winning path
-                from .cache import compact_accepted_batched
+                if paged is None:
+                    from .cache import compact_accepted_batched
 
-                kv_k = compact_accepted_batched(kv_k, hist_lens,
-                                                path_nodes, M)
-                kv_v = compact_accepted_batched(kv_v, hist_lens,
-                                                path_nodes, M)
+                    kv_k = compact_accepted_batched(kv_k, hist_lens,
+                                                    path_nodes, M)
+                    kv_v = compact_accepted_batched(kv_v, hist_lens,
+                                                    path_nodes, M)
+                else:
+                    from .paged_kv import paged_compact_block
+
+                    kv_k = paged_compact_block(kv_k, tables, hist_lens,
+                                               path_nodes, M, paged[1])
+                    kv_v = paged_compact_block(kv_v, tables, hist_lens,
+                                               path_nodes, M, paged[1])
                 # Token-Recycle harvest of the whole block (live slots only:
                 # a dead slot's stale logits must not scribble tables a
                 # re-admitted request would inherit)
@@ -573,7 +639,7 @@ class BatchedFusedHybridEngine:
                 slot_steps = slot_steps + lives.astype(jnp.int32)
                 sam_steps = sam_steps + (lives & use_sam).astype(jnp.int32)
                 lives = lives & ~any_eos & (budgets > 0) & \
-                    (hist_lens + M <= S)
+                    (hist_lens + M <= alloc_limits)
                 return (kv_k, kv_v, harvests, seens, histories, hist_lens,
                         starts, budgets, lives, steps + 1, slot_steps,
                         sam_steps, keys)
@@ -617,17 +683,10 @@ class BatchedFusedHybridEngine:
             for i in range(B):
                 if actives[i] or not self.queue:
                     continue
+                if not self._can_admit(self.queue[0][1]):
+                    break  # paged: no pages for a prompt yet; retry later
                 rid, ids, gen = self.queue.pop(0)
-                P = _bucket(len(ids), self.prefill_buckets)
-                if P not in self._prefill_fns:
-                    self._prefill_fns[P] = self._build_prefill(P)
-                padded = np.zeros(P, np.int32)
-                padded[:len(ids)] = ids
-                (self.kv_k, self.kv_v, self.harvests, self.seens,
-                 self.histories, nt, last_logits) = self._prefill_fns[P](
-                    self.params, self.kv_k, self.kv_v, self.harvests,
-                    self.seens, self.histories, jnp.asarray(padded),
-                    jnp.int32(len(ids)), jnp.int32(i))
+                nt, last_logits = self._prefill_slot(i, ids)
                 if not gen.greedy:
                     slot_sigs[i] = gen.sampling_signature
                     samp_flags[i] = True
@@ -662,6 +721,7 @@ class BatchedFusedHybridEngine:
                 fused = self._fused_sampling[sig]
             else:
                 fused = self._fused
+            self._pre_segment(hist_lens, actives)
             (self.kv_k, self.kv_v, self.harvests, self.seens,
              self.histories, ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, self.harvests,
@@ -669,7 +729,7 @@ class BatchedFusedHybridEngine:
                 jnp.asarray(starts), jnp.asarray(budgets),
                 jnp.asarray(actives), jnp.int32(self.eos_token_id),
                 jnp.asarray(keys), jnp.asarray(samp_flags),
-                jnp.bool_(bool(self.queue)))
+                jnp.bool_(bool(self.queue)), *self._fused_extra_args())
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
             starts = ctrl_np[1].copy()
@@ -680,6 +740,8 @@ class BatchedFusedHybridEngine:
             self.steps_total += int(steps_arr[actives].sum()) \
                 if actives.any() else 0
             keys = np.ascontiguousarray(ctrl_np[6:8].T).view(np.uint32)
+            self._post_segment(int(steps_arr[actives].sum())
+                               if actives.any() else 0)
             hist_np = None
             for i in range(B):
                 if not actives[i]:
@@ -687,6 +749,9 @@ class BatchedFusedHybridEngine:
                 self._slot_steps[i] += int(steps_arr[i])
                 if lives[i]:
                     continue
+                if self._should_retry_slot(i, int(hist_lens[i]),
+                                           int(budgets[i])):
+                    continue  # transient stall (paged capacity); stays active
                 if hist_np is None:
                     hist_np = np.asarray(self.histories)
                 ids = hist_np[i, :hist_lens[i]].tolist()
@@ -703,8 +768,115 @@ class BatchedFusedHybridEngine:
                 self._slot_req[i] = None
                 slot_sigs[i] = None
                 samp_flags[i] = False
+                self._release_slot(i)
         out, self.results = self.results, {}
         return out
+
+
+class PagedBatchedFusedHybridEngine(BatchedFusedHybridEngine):
+    """BatchedFusedHybridEngine (the flagship SAM[Token Recycle] under
+    continuous batching) on a shared page pool — tree drafts additionally
+    gather-compact the accepted path directly on pages
+    (paged_kv.paged_compact_block).  Page lifecycle, int8 page option and
+    capacity semantics are PagedBatchedFusedSamEngine's."""
+
+    def __init__(self, *args, n_pages: int = 64, page_size: int = 128,
+                 quantized_kv: bool = False,
+                 interpret: Optional[bool] = None, **kwargs):
+        self._n_pages = n_pages
+        self._page_size = page_size
+        self._quantized_kv = quantized_kv
+        self._interpret = interpret
+        super().__init__(*args, **kwargs)
+
+    # page-pool hooks shared verbatim with the chain engine
+    from .fused_sam import PagedBatchedFusedSamEngine as _P
+    _init_kv = _P._init_kv
+    _tables = _P._tables
+    _fused_extra_args = _P._fused_extra_args
+    _release_slot = _P._release_slot
+    _should_retry_slot = _P._should_retry_slot
+    _post_segment = _P._post_segment
+    _can_admit = _P._can_admit
+    live_kv_tokens = _P.live_kv_tokens
+    del _P
+
+    def _pre_segment(self, hist_lens, actives) -> None:
+        M = self.cfg.max_block
+        grow = self.cfg.steps_per_call * M
+        for i in range(self.B):
+            if not actives[i]:
+                self._alloc_limits[i] = 0
+                continue
+            want = min(self.S, int(hist_lens[i]) + grow)
+            self._alloc_limits[i] = self.page_reqs[i].ensure_upto(want)
+        self.peak_pages = max(self.peak_pages,
+                              self.pool.n_pages - len(self.pool._free))
+
+    # -- prefill: dense forward + page scatter + harvest/seen rows ---------
+    def _build_scatter_prefill(self, P: int):
+        from .cache import init_kv_cache
+        from .paged_kv import paged_flat_indices, paged_write_block
+
+        cfg, S, K = self.model_cfg, self.S, self.cfg.topk
+        V = cfg.vocab_size
+        page, scratch, _ = self._paged_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+        def prefill(params, kv_k, kv_v, harvests, seens, histories, tokens,
+                    true_len, slot, table):
+            fk, fv = init_kv_cache(cfg, 1, P)
+            logits, _, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, P))
+            flat_pg, flat_sl = paged_flat_indices(
+                table[None], jnp.zeros((1,), jnp.int32), P, page, scratch)
+            kv_k = jax.vmap(
+                lambda c, b: paged_write_block(c, b, flat_pg, flat_sl)
+            )(kv_k, fk)
+            kv_v = jax.vmap(
+                lambda c, b: paged_write_block(c, b, flat_pg, flat_sl)
+            )(kv_v, fv)
+            topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
+            rows = jnp.where(jnp.arange(P) < true_len, tokens, V)
+            hrow = jax.lax.dynamic_slice(harvests, (slot, 0, 0),
+                                         (1, V + 1, K))[0]
+            hrow = hrow.at[rows].set(topk)
+            harvests = jax.lax.dynamic_update_slice(harvests, hrow[None],
+                                                    (slot, 0, 0))
+            srow = jax.lax.dynamic_slice(seens, (slot, 0), (1, V + 1))[0]
+            srow = srow.at[rows].set(True).at[V].set(False)
+            seens = jax.lax.dynamic_update_slice(seens, srow[None],
+                                                 (slot, 0))
+            row = jnp.zeros((1, S), jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
+            histories = jax.lax.dynamic_update_slice(histories, row,
+                                                     (slot, 0))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            return (kv_k, kv_v, harvests, seens, histories,
+                    jnp.argmax(last).astype(jnp.int32), last)
+
+        return prefill
+
+    def _prefill_slot(self, slot: int, ids):
+        P = _bucket(len(ids), self.prefill_buckets)
+        if not hasattr(self, "_scatter_prefill_fns"):
+            self._scatter_prefill_fns = {}
+        if P not in self._scatter_prefill_fns:
+            self._scatter_prefill_fns[P] = self._build_scatter_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(ids)] = ids
+        req = self.page_reqs[slot]
+        req.release()
+        req.ensure(min(-(-P // self._page_size) * self._page_size, self.S))
+        req.length = len(ids)
+        (self.kv_k, self.kv_v, self.harvests, self.seens, self.histories,
+         nt, last_logits) = self._scatter_prefill_fns[P](
+            self.params, self.kv_k, self.kv_v, self.harvests, self.seens,
+            self.histories, jnp.asarray(padded), jnp.int32(len(ids)),
+            jnp.int32(slot), jnp.asarray(self.page_reqs[slot].host_table()))
+        return nt, last_logits
 
 
 # ----------------------------------------------------------------------
@@ -728,8 +900,9 @@ class FusedHybridEagleConfig:
     max_block: int = 64
     # n-gram hash index for corpus-scale retrieval (ops/ngram_index.py)
     indexed: bool = False
-    index_grams: tuple = (8, 4, 2, 1)
+    index_grams: tuple = (32, 16, 8, 7, 6, 5, 4, 3, 2, 1)
     index_bucket_cap: int = 8
+    index_keep_latest: int = 0
 
 
 class FusedHybridEagleEngine:

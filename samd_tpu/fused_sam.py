@@ -58,8 +58,18 @@ class FusedSamConfig:
     # of the O(corpus) windowed scan — required at reference corpus scale
     # (millions of tokens, /root/reference/tools/gen_sam_alpaca.py:19-44)
     indexed: bool = False
-    index_grams: Tuple[int, ...] = (8, 4, 2, 1)
+    # DENSE gram coverage (every size 1..max_ngram) is the repetition
+    # mitigation: an exact match of length m is served directly by the
+    # m-gram bucket, where the old sparse (8,4,2,1) ladder pushed lengths
+    # 3/5/6/7 through a shorter gram's earliest-cap candidates (which often
+    # fail to extend on repetitive corpora).  Measured on the adversarial
+    # workload (vocab 32, 200k corpus): 0.75 -> 1.00 match+end agreement,
+    # draft-len delta 0.96 -> 0.0 (docs/PERFORMANCE.md parity table).
+    # Sizes > max_ngram hash over the query+tail window (ngram_index).
+    index_grams: Tuple[int, ...] = (32, 16, 8, 7, 6, 5, 4, 3, 2, 1)
     index_bucket_cap: int = 8
+    # per-bucket extra table of LATEST positions (dual probe); 0 = off
+    index_keep_latest: int = 0
 
     @property
     def block(self) -> int:
@@ -432,10 +442,7 @@ class BatchedFusedSamEngine:
         self.eos_token_id = eos_token_id
         self.prefill_buckets = tuple(b for b in prefill_buckets
                                      if b <= max_cache_len)
-        from .cache import init_kv_cache
-
-        self.kv_k, self.kv_v = init_kv_cache(model_cfg, batch_size,
-                                             max_cache_len)
+        self._init_kv()
         from .fused_base import build_optional_index, load_corpus_buffer
 
         self.corpus, self.corpus_len = load_corpus_buffer(
@@ -454,6 +461,51 @@ class BatchedFusedSamEngine:
         self.queue = []
         self.results = {}
         self._next_id = 0
+
+    # -- subclass hooks (paged variant swaps the KV backend) --------------
+    def _init_kv(self):
+        from .cache import init_kv_cache
+
+        self.kv_k, self.kv_v = init_kv_cache(self.model_cfg, self.B, self.S)
+
+    def _prefill_slot(self, slot: int, ids):
+        """Admit one request's prompt into ``slot``; returns
+        (next_token, last_logits)."""
+        P = _bucket(len(ids), self.prefill_buckets)
+        if P not in self._prefill_fns:
+            self._prefill_fns[P] = self._build_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(ids)] = ids
+        (self.kv_k, self.kv_v, self.histories, nt, last_logits) = \
+            self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
+                                 self.histories, jnp.asarray(padded),
+                                 jnp.int32(len(ids)), jnp.int32(slot))
+        return nt, last_logits
+
+    def _pre_segment(self, hist_lens, actives) -> None:
+        """Called before each fused segment (paged: grow page tables)."""
+
+    def _fused_extra_args(self) -> tuple:
+        """Trailing traced args for the fused fn (paged: tables, limits)."""
+        return ()
+
+    def _release_slot(self, slot: int) -> None:
+        """Called when a request finishes (paged: free its pages)."""
+
+    def _should_retry_slot(self, slot: int, hist_len: int,
+                           budget: int) -> bool:
+        """A slot ended the segment not-live but unfinished for a reason
+        that can clear (paged: pool-capacity starvation) → keep it active
+        instead of finishing early."""
+        return False
+
+    def _post_segment(self, stepped: int) -> None:
+        """Called with the segment's total step count (paged: stall guard)."""
+
+    def _can_admit(self, ids) -> bool:
+        """Whether the next queued prompt can be admitted now (paged: the
+        pool must have pages for its prefill bucket)."""
+        return True
 
     def _build_prefill(self, P: int):
         cfg, S = self.model_cfg, self.S
@@ -480,6 +532,9 @@ class BatchedFusedSamEngine:
 
         return prefill
 
+    # set by the paged subclass: (page_size, scratch_page, interpret)
+    _paged_cfg = None
+
     def _build_fused(self, sig: Optional[tuple] = None):
         from .fused_base import make_retrieval_draft
 
@@ -493,6 +548,7 @@ class BatchedFusedSamEngine:
         chain_pos = jnp.arange(M, dtype=jnp.int32)
         corpus = self.corpus
         corpus_len = self.corpus_len
+        paged = self._paged_cfg
 
         retrieve = make_retrieval_draft(
             S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
@@ -517,10 +573,29 @@ class BatchedFusedSamEngine:
             mask = mask & (~in_block | (s < hist_len + draft_len))
             return mask | (s == (hist_len + chain_pos)[:, None])
 
+        def slot_window(hist_len, draft_len):
+            # paged mode: the in-block [M, M] tree mask (chain prefix up to
+            # draft_len + self-diagonal) folded to a boundary window — the
+            # committed prefix needs no mask bytes (kernel-implicit)
+            from .ops.paged_attention import boundary_mask_window
+
+            cols = jnp.arange(M)[None, :]
+            tm = (tri & (cols < draft_len)) | jnp.eye(M, dtype=bool)
+            return boundary_mask_window(tm, hist_len, paged[0])
+
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, histories, hist_lens, starts, budgets,
-                  actives, eos_id, keys, samp_flags, refill):
-            init_lives = actives & (budgets > 0) & (hist_lens + M <= S)
+                  actives, eos_id, keys, samp_flags, refill,
+                  tables=None, alloc_limits=None):
+            if paged is None:
+                alloc_limits = S
+                paged_aux = None
+            else:
+                from .paged_kv import PagedAux
+
+                paged_aux = PagedAux(tables, paged[1], paged[2])
+            init_lives = actives & (budgets > 0) & \
+                (hist_lens + M <= alloc_limits)
 
             def cond(st):
                 (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
@@ -537,11 +612,12 @@ class BatchedFusedSamEngine:
                  steps, slot_steps, keys) = st
                 drafts, dlens = jax.vmap(make_draft)(histories, hist_lens,
                                                      starts)       # [B,M],[B]
-                masks = jax.vmap(slot_mask)(hist_lens, dlens)      # [B,M,S]
+                masks = jax.vmap(slot_window if paged else slot_mask)(
+                    hist_lens, dlens)            # [B,M,S] / [B,M,W·page]
                 pos = chain_pos[None, :] + hist_lens[:, None]
                 logits, _, kv_k, kv_v = forward(
                     params, cfg, jnp.maximum(drafts, 0), pos, kv_k, kv_v,
-                    hist_lens, masks)
+                    hist_lens, masks, paged=paged_aux)
                 argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 in_draft = chain_pos[None, :] < dlens[:, None]
                 hit = (drafts[:, 1:] == argmax_tok[:, :-1]) & in_draft[:, 1:]
@@ -575,7 +651,7 @@ class BatchedFusedSamEngine:
                 starts = jnp.where(lives, bonus, starts)
                 slot_steps = slot_steps + lives.astype(jnp.int32)
                 lives = lives & ~any_eos & (budgets > 0) & \
-                    (hist_lens + M <= S)
+                    (hist_lens + M <= alloc_limits)
                 return (kv_k, kv_v, histories, hist_lens, starts, budgets,
                         lives, steps + 1, slot_steps, keys)
 
@@ -619,16 +695,10 @@ class BatchedFusedSamEngine:
             for i in range(B):
                 if actives[i] or not self.queue:
                     continue
+                if not self._can_admit(self.queue[0][1]):
+                    break  # paged: no pages for a prompt yet; retry later
                 rid, ids, gen = self.queue.pop(0)
-                P = _bucket(len(ids), self.prefill_buckets)
-                if P not in self._prefill_fns:
-                    self._prefill_fns[P] = self._build_prefill(P)
-                padded = np.zeros(P, np.int32)
-                padded[:len(ids)] = ids
-                (self.kv_k, self.kv_v, self.histories, nt, last_logits) = \
-                    self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
-                                         self.histories, jnp.asarray(padded),
-                                         jnp.int32(len(ids)), jnp.int32(i))
+                nt, last_logits = self._prefill_slot(i, ids)
                 if not gen.greedy:
                     slot_sigs[i] = gen.sampling_signature
                     samp_flags[i] = True
@@ -664,12 +734,14 @@ class BatchedFusedSamEngine:
             else:
                 fused = self._fused
             # fused segment
+            self._pre_segment(hist_lens, actives)
             (self.kv_k, self.kv_v, self.histories, ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, self.histories,
                 jnp.asarray(hist_lens), jnp.asarray(starts),
                 jnp.asarray(budgets), jnp.asarray(actives),
                 jnp.int32(self.eos_token_id), jnp.asarray(keys),
-                jnp.asarray(samp_flags), jnp.bool_(bool(self.queue)))
+                jnp.asarray(samp_flags), jnp.bool_(bool(self.queue)),
+                *self._fused_extra_args())
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
             starts = ctrl_np[1].copy()
@@ -677,13 +749,18 @@ class BatchedFusedSamEngine:
             lives = ctrl_np[3].astype(bool)
             steps_arr = ctrl_np[4]
             keys = np.ascontiguousarray(ctrl_np[5:7].T).view(np.uint32)
+            self._post_segment(int(steps_arr[actives].sum())
+                               if actives.any() else 0)
             hist_np = None
             for i in range(B):
                 if not actives[i]:
                     continue
                 self._slot_steps[i] += int(steps_arr[i])
                 if lives[i]:
-                    continue  # still going next segment
+                    continue
+                if self._should_retry_slot(i, int(hist_lens[i]),
+                                           int(budgets[i])):
+                    continue  # transient stall (paged capacity); stays active  # still going next segment
                 # finished: extract output
                 if hist_np is None:
                     hist_np = np.asarray(self.histories)
@@ -700,5 +777,185 @@ class BatchedFusedSamEngine:
                 self._slot_req[i] = None
                 slot_sigs[i] = None
                 samp_flags[i] = False
+                self._release_slot(i)
         out, self.results = self.results, {}
         return out
+
+
+# ----------------------------------------------------------------------
+# Paged batched fused serving: the peak-throughput path on a page pool
+# ----------------------------------------------------------------------
+
+class PagedBatchedFusedSamEngine(BatchedFusedSamEngine):
+    """BatchedFusedSamEngine whose KV lives in a shared page pool.
+
+    The dense batched fused engines allocate ``B × max_cache_len`` KV per
+    slot — the serving config with the worst memory story (the round-2
+    parity gap, docs/PARITY.md).  Here the fused while_loop consumes the
+    transposed page pool directly through the page-table Pallas kernel
+    (ops/paged_attention.py): per segment the host pre-allocates each live
+    slot's worst-case growth (``steps_per_call × block`` tokens, a page or
+    two), passes the tables + per-slot capacity limits into the jitted
+    segment, and frees everything when the request finishes — persistent
+    footprint scales with LIVE tokens, not B × S_max.
+
+    ``quantized_kv=True`` stores int8 pages + f32 per-token scales (the
+    paged analogue of cache.QuantizedKV): half the page bytes at rest
+    (2× token capacity per HBM byte) and half the kernel's DMA stream.
+
+    Chain drafts commit accepted tokens as a prefix of the written block,
+    so no KV compaction is ever needed (the hybrid variant compacts;
+    reference rollback semantics: /root/reference/samd/cache.py:117-133).
+    """
+
+    def __init__(self, *args, n_pages: int = 64, page_size: int = 128,
+                 quantized_kv: bool = False,
+                 interpret: Optional[bool] = None, **kwargs):
+        self._n_pages = n_pages
+        self._page_size = page_size
+        self._quantized_kv = quantized_kv
+        self._interpret = interpret
+        super().__init__(*args, **kwargs)
+
+    # -- hooks -------------------------------------------------------------
+    def _init_kv(self):
+        from .paged_kv import PagedKV, PagedKVPool, PagedRequest
+
+        if self.S % self._page_size != 0:
+            raise ValueError("max_cache_len must be a multiple of page_size")
+        if getattr(self.model_cfg, "kv_quant", False):
+            raise ValueError("the paged engine manages its own KV "
+                             "quantization (quantized_kv=True); use a "
+                             "kv_quant=False model config")
+        interpret = (jax.default_backend() == "cpu"
+                     if self._interpret is None else self._interpret)
+        self.pool = PagedKVPool(self.model_cfg, n_pages=self._n_pages,
+                                page_size=self._page_size, layout="dp",
+                                quantized=self._quantized_kv)
+        wrap = (lambda x: x if isinstance(x, PagedKV) else PagedKV(x, None))
+        self.kv_k, self.kv_v = wrap(self.pool.k), wrap(self.pool.v)
+        self._paged_cfg = (self._page_size, self.pool.scratch_page,
+                           interpret)
+        self.page_reqs = [PagedRequest(self.pool, self.S)
+                          for _ in range(self.B)]
+        self._alloc_limits = np.zeros((self.B,), np.int32)
+        self._tables_cache = None
+        self._stall = 0
+        self.peak_pages = 0   # high-water mark (bench footprint metric)
+        self._scatter_prefill_fns: Dict[int, callable] = {}
+        # a finished slot's kv_limit (hist + block) can overrun S by up to
+        # one block — pad the table with -1 rows so the kernel's SMEM table
+        # reads stay in bounds (the -1s route its writes to scratch)
+        M = getattr(self.cfg, "block", None) or self.cfg.max_block
+        self._table_pad = -(-M // self._page_size) + 1
+
+    def _tables(self):
+        """[B, P + pad] device table, re-uploaded only on page-assignment
+        change (each per-segment put is a tunnel RPC)."""
+        host = np.stack([r.host_table() for r in self.page_reqs])
+        host = np.pad(host, ((0, 0), (0, self._table_pad)),
+                      constant_values=-1)
+        if self._tables_cache is None or \
+                not np.array_equal(self._tables_cache[0], host):
+            self._tables_cache = (host, jnp.asarray(host))
+        return self._tables_cache[1]
+
+    def _pre_segment(self, hist_lens, actives) -> None:
+        M = self.cfg.block
+        grow = self.cfg.steps_per_call * M
+        for i in range(self.B):
+            if not actives[i]:
+                self._alloc_limits[i] = 0
+                continue
+            want = min(self.S, int(hist_lens[i]) + grow)
+            # best-effort: a tight pool shortens the segment (the slot's
+            # limit guard ends it at capacity) instead of failing
+            self._alloc_limits[i] = self.page_reqs[i].ensure_upto(want)
+        self.peak_pages = max(self.peak_pages,
+                              self.pool.n_pages - len(self.pool._free))
+
+    def _fused_extra_args(self) -> tuple:
+        return (self._tables(), jnp.asarray(self._alloc_limits))
+
+    def _release_slot(self, slot: int) -> None:
+        self.page_reqs[slot].release()
+
+    def _should_retry_slot(self, slot: int, hist_len: int,
+                           budget: int) -> bool:
+        # unfinished only because page allocation stopped short of the
+        # slot's dense limit: keep it active — pages free as others finish.
+        # (A coincidental EOS here merely generates past the EOS; the
+        # finalize trim keeps the output correct.)
+        M = getattr(self.cfg, "block", None) or self.cfg.max_block
+        return (budget > 0 and hist_len + M <= self.S
+                and hist_len + M > int(self._alloc_limits[slot]))
+
+    def _post_segment(self, stepped: int) -> None:
+        if stepped == 0:
+            self._stall += 1
+            if self._stall >= 3:
+                raise MemoryError(
+                    "paged KV pool too small: no slot could step for 3 "
+                    f"consecutive segments ({self.pool.n_pages} pages of "
+                    f"{self._page_size})")
+        else:
+            self._stall = 0
+
+    def _can_admit(self, ids) -> bool:
+        P = _bucket(len(ids), self.prefill_buckets)
+        return self.pool.pages_for(P) <= len(self.pool._free)
+
+    def live_kv_tokens(self) -> int:
+        """Currently allocated pool tokens (the bench's footprint metric)."""
+        return sum(len(r.pages) for r in self.page_reqs) * self._page_size
+
+    # -- prefill: dense single-request forward, scattered into pages --------
+    def _build_scatter_prefill(self, P: int):
+        from .cache import init_kv_cache
+        from .paged_kv import paged_flat_indices, paged_write_block
+
+        cfg, S = self.model_cfg, self.S
+        page, scratch, _ = self._paged_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def prefill(params, kv_k, kv_v, histories, tokens, true_len, slot,
+                    table):
+            fk, fv = init_kv_cache(cfg, 1, P)
+            logits, _, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, P))
+            flat_pg, flat_sl = paged_flat_indices(
+                table[None], jnp.zeros((1,), jnp.int32), P, page, scratch)
+            kv_k = jax.vmap(
+                lambda c, b: paged_write_block(c, b, flat_pg, flat_sl)
+            )(kv_k, fk)
+            kv_v = jax.vmap(
+                lambda c, b: paged_write_block(c, b, flat_pg, flat_sl)
+            )(kv_v, fv)
+            row = jnp.zeros((1, S), jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
+            histories = jax.lax.dynamic_update_slice(histories, row,
+                                                     (slot, 0))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            return (kv_k, kv_v, histories,
+                    jnp.argmax(last).astype(jnp.int32), last)
+
+        return prefill
+
+    def _prefill_slot(self, slot: int, ids):
+        P = _bucket(len(ids), self.prefill_buckets)
+        if P not in self._scatter_prefill_fns:
+            self._scatter_prefill_fns[P] = self._build_scatter_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(ids)] = ids
+        req = self.page_reqs[slot]
+        req.release()
+        req.ensure(min(-(-P // self._page_size) * self._page_size, self.S))
+        req.length = len(ids)
+        (self.kv_k, self.kv_v, self.histories, nt, last_logits) = \
+            self._scatter_prefill_fns[P](
+                self.params, self.kv_k, self.kv_v, self.histories,
+                jnp.asarray(padded), jnp.int32(len(ids)), jnp.int32(slot),
+                jnp.asarray(self.page_reqs[slot].host_table()))
+        return nt, last_logits

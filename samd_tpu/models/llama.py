@@ -177,20 +177,30 @@ def _moe_mlp(x: jax.Array, lp: Dict, cfg: ModelConfig) -> jax.Array:
 
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             position_ids: jax.Array, kv_k: jax.Array, kv_v: jax.Array,
-            write_offset: jax.Array, attn_mask: jax.Array,
+            write_offset: jax.Array, attn_mask: jax.Array, *,
+            paged=None,
             ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One forward pass writing the block's KV into the cache.
 
     Args:
       tokens:       [B, T] int32
       position_ids: [B, T] int32 (RoPE positions)
-      kv_k, kv_v:   [L, B, KH, S, D] cache (donated by jitted callers)
+      kv_k, kv_v:   [L, B, KH, S, D] cache (donated by jitted callers), or
+                    ``paged_kv.PagedKV`` page pools in paged mode
       write_offset: scalar int32, or [B] int32 for per-request offsets
                     (continuous batching) — cache slot of the block's first
                     token
       attn_mask:    [B, T, S] bool — True where attention is allowed; callers
                     must allow the block's own freshly-written slots
-                    [offset, offset+T) per their draft-tree structure.
+                    [offset, offset+T) per their draft-tree structure.  In
+                    paged mode this is the [B, T, W·page] boundary window
+                    from ops.paged_attention.boundary_mask_window instead.
+      paged:        ``paged_kv.PagedAux(tables, scratch_page, interpret)``
+                    — switches the KV backend to the shared page pool: the
+                    SAME trunk (quantized weights, Qwen2 bias, MoE) then
+                    scatters fresh KV into pages and attends through the
+                    page-table-consuming Pallas kernel.  kv_k/kv_v must be
+                    PagedKV; write_offset must be [B].
 
     Returns: (logits [B,T,V] fp32, hidden [B,T,H], kv_k, kv_v).
     The pre-head hidden states are returned for EAGLE-style drafters
@@ -206,7 +216,24 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
     write_offset = jnp.asarray(write_offset)
     ds_layout = getattr(cfg, "kv_layout", "sd") == "ds"
-    if write_offset.ndim == 0:
+    if paged is not None:
+        from ..ops.paged_attention import paged_block_attention
+        from ..paged_kv import paged_flat_indices, paged_write_block
+
+        assert write_offset.ndim == 1, "paged mode needs per-slot offsets"
+        page = kv_k.page_size
+        flat_pg, flat_sl = paged_flat_indices(
+            paged.tables, write_offset, T, page, paged.scratch_page)
+
+        def write_kv(cache, block):       # block [B, KH, T, D]
+            return paged_write_block(cache, block, flat_pg, flat_sl)
+
+        def attend(q, k_cache, v_cache):
+            return paged_block_attention(
+                q, k_cache.pool, v_cache.pool, paged.tables, attn_mask,
+                write_offset + T, k_scale=k_cache.scale,
+                v_scale=v_cache.scale, interpret=paged.interpret)
+    elif write_offset.ndim == 0:
         if ds_layout:
             def write_kv(cache, block):  # cache [B,KH,D,S], blk [B,KH,T,D]
                 return jax.lax.dynamic_update_slice(
@@ -265,7 +292,9 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         k = apply_rope(k, cos, sin)
         k_cache = write_kv_any(k_cache, k.transpose(0, 2, 1, 3))
         v_cache = write_kv_any(v_cache, v.transpose(0, 2, 1, 3))
-        if cfg.attention_impl in ("flash", "flash_interpret") and B == 1 \
+        if paged is not None:
+            ctx = attend(q, k_cache, v_cache)
+        elif cfg.attention_impl in ("flash", "flash_interpret") and B == 1 \
                 and write_offset.ndim == 0 and T <= 128 \
                 and (not isinstance(k_cache, QuantizedKV) or ds_layout):
             # the flash kernel targets small decode/verify blocks; wide

@@ -39,7 +39,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
                   mask_hbm, out_ref, *, page: int, scale: float, T: int,
-                  KH: int):
+                  KH: int, k_scale_hbm=None, v_scale_hbm=None):
     """One slot, ALL kv-heads.  q_ref/out_ref: [1, KH, R, D] VMEM; k/v_pool:
     [n_pages, KH, D, page] HBM; mask_hbm: [B, Tp, W] HBM int8 — the
     *boundary window*: the mask for logical columns
@@ -53,15 +53,22 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
     fori_loop with double-buffered DMA across head boundaries): at serving
     shapes each (slot, head) does only a few small DMAs, so per-program
     fixed cost dominates a (B, KH) grid — folding KH cuts program count 4×
-    and shares the single mask-window DMA across heads."""
+    and shares the single mask-window DMA across heads.
+
+    k/v_scale_hbm (int8 paged pool): [n_pages, KH, 1, page] f32 per-token
+    dequant scales; k/v_pool are then int8 and the kernel DMAs HALF the KV
+    bytes per page, dequantizing in-register after each page lands (same
+    scheme as ops/pallas_attention's int8-KV mode)."""
     b = pl.program_id(0)
     _, _, R, D = q_ref.shape
+    quantized = k_scale_hbm is not None
     kv_limit = kv_limits_ref[b]
     num_pages = pl.cdiv(kv_limit, page)
     # first page touching uncommitted columns; window column 0 = w0p * page
     w0p = (kv_limit - T) // page
 
-    def body(k_buf, v_buf, m_buf, sem_k, sem_v, sem_m, acc, m_i, l_i):
+    def body(k_buf, v_buf, ks_buf, vs_buf, m_buf, sem_k, sem_v, sem_ks,
+             sem_vs, sem_m, acc, m_i, l_i):
         # one window DMA per program (not per page, not per head)
         mask_cp = pltpu.make_async_copy(mask_hbm.at[b], m_buf, sem_m)
         mask_cp.start()
@@ -72,12 +79,20 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
             h = idx // num_pages
             j = idx - h * num_pages
             p = jnp.maximum(tables_ref[b, j], 0)
-            return (
+            copies = (
                 pltpu.make_async_copy(k_pool.at[p, h],
                                       k_buf.at[slot], sem_k.at[slot]),
                 pltpu.make_async_copy(v_pool.at[p, h],
                                       v_buf.at[slot], sem_v.at[slot]),
             )
+            if quantized:
+                copies += (
+                    pltpu.make_async_copy(k_scale_hbm.at[p, h],
+                                          ks_buf.at[slot], sem_ks.at[slot]),
+                    pltpu.make_async_copy(v_scale_hbm.at[p, h],
+                                          vs_buf.at[slot], sem_vs.at[slot]),
+                )
+            return copies
 
         for c in get_copies(0, 0):
             c.start()
@@ -104,8 +119,13 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
                 c.wait()
 
             q = q_ref[0, h].astype(jnp.float32)            # [R, D]
-            kT = k_buf[slot].astype(jnp.float32)           # [D, page]
-            vT = v_buf[slot].astype(jnp.float32)
+            if quantized:
+                # per-column (token) dequant: scale broadcasts over D rows
+                kT = k_buf[slot].astype(jnp.float32) * ks_buf[slot][0][None]
+                vT = v_buf[slot].astype(jnp.float32) * vs_buf[slot][0][None]
+            else:
+                kT = k_buf[slot].astype(jnp.float32)       # [D, page]
+                vT = v_buf[slot].astype(jnp.float32)
             G = R // T
             # committed pages (j < w0p): all rows attend; boundary pages:
             # window slice (j - w0p) carries the prefix/tree predicate
@@ -143,9 +163,13 @@ def _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_pool, v_pool,
         body,
         k_buf=pltpu.VMEM((2, D, page), k_pool.dtype),
         v_buf=pltpu.VMEM((2, D, page), v_pool.dtype),
+        ks_buf=pltpu.VMEM((2, 1, page), jnp.float32),
+        vs_buf=pltpu.VMEM((2, 1, page), jnp.float32),
         m_buf=pltpu.VMEM((Tp, W), jnp.int8),
         sem_k=pltpu.SemaphoreType.DMA((2,)),
         sem_v=pltpu.SemaphoreType.DMA((2,)),
+        sem_ks=pltpu.SemaphoreType.DMA((2,)),
+        sem_vs=pltpu.SemaphoreType.DMA((2,)),
         sem_m=pltpu.SemaphoreType.DMA(()),
         acc=pltpu.VMEM((R, D), jnp.float32),
         m_i=pltpu.VMEM((R, 1), jnp.float32),
@@ -182,6 +206,8 @@ def boundary_mask_window(tree_mask: jax.Array, cache_len: jax.Array,
 def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                           tables: jax.Array, mask_win: jax.Array,
                           kv_limits: jax.Array, *,
+                          k_scale: jax.Array = None,
+                          v_scale: jax.Array = None,
                           interpret: bool = False) -> jax.Array:
     """Batched paged attention over one layer's page pool.
 
@@ -194,11 +220,14 @@ def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     kv_limits: [B] int32 — attend to logical columns < kv_limits[b];
                MUST equal the slot's committed length + T (the kernel
                derives the window origin as (kv_limit - T) // page)
+    k/v_scale: [n_pages, KH, 1, page] f32 — int8-pool mode: k/v_pool hold
+               int8 values, dequantized in-register per page
     Returns [B, T, NH*D]."""
     B, T, NH, D = q.shape
     _, KH, _, page = k_pool.shape
     G = NH // KH
     R = G * T
+    quantized = k_scale is not None
     assert mask_win.shape[-1] == window_pages(T, page) * page, mask_win.shape
     # [B, KH, R, D] query rows (row r = g*T + t)
     qh = q.transpose(0, 2, 1, 3).reshape(B, KH, G, T, D).reshape(B, KH, R, D)
@@ -207,33 +236,40 @@ def paged_block_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     mask8 = jnp.zeros((B, Tp, W), jnp.int8)
     mask8 = mask8.at[:, :T].set(mask_win.astype(jnp.int8))
 
+    n_hbm = 5 if quantized else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # kv_limits, tables
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, KH, R, D), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            *[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * n_hbm,
         ],
         out_specs=pl.BlockSpec((1, KH, R, D), lambda b, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    def kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref, mask_ref,
-               out_ref):
-        _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref,
-                      mask_ref, out_ref, page=page, scale=D ** -0.5, T=T,
-                      KH=KH)
+    if quantized:
+        def kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref, ks_ref,
+                   vs_ref, mask_ref, out_ref):
+            _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref,
+                          mask_ref, out_ref, page=page, scale=D ** -0.5,
+                          T=T, KH=KH, k_scale_hbm=ks_ref, v_scale_hbm=vs_ref)
+        operands = (qh, k_pool, v_pool, k_scale, v_scale, mask8)
+    else:
+        def kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref, mask_ref,
+                   out_ref):
+            _paged_kernel(kv_limits_ref, tables_ref, q_ref, k_ref, v_ref,
+                          mask_ref, out_ref, page=page, scale=D ** -0.5,
+                          T=T, KH=KH)
+        operands = (qh, k_pool, v_pool, mask8)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, R, D), q.dtype),
         interpret=interpret,
-    )(kv_limits.astype(jnp.int32), tables.astype(jnp.int32),
-      qh, k_pool, v_pool, mask8)
+    )(kv_limits.astype(jnp.int32), tables.astype(jnp.int32), *operands)
     # [B, KH, G, T, D] -> [B, T, NH*D]
     return out.reshape(B, KH, G, T, D).transpose(0, 3, 1, 2, 4).reshape(
         B, T, NH * D)
