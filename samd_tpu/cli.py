@@ -202,28 +202,20 @@ def main():
     engine, tokenizer = build_engine(args)
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
                            max_cache_len=args.max_cache_len)
-    history_ids = []
-    print("samd_tpu chat — !!reset clears context, !!exit quits",
-          file=sys.stderr)
-    while True:
-        try:
-            line = input("USER> ")
-        except (EOFError, KeyboardInterrupt):
-            break
-        if line.strip() == "!!exit":
-            break
-        if line.strip() == "!!reset":
-            history_ids = []
-            continue
-        if tokenizer is not None:
-            ids = history_ids + tokenizer.encode(line)
-        else:
-            try:
-                ids = history_ids + [int(x) for x in line.split()]
-            except ValueError:
-                print("(token-id mode: enter space-separated ints)",
-                      file=sys.stderr)
-                continue
+    # conversation = list of [user_ids, assistant_ids] turns — the turn
+    # structure backs the reference REPL's conversation commands
+    # (/root/reference/samd/inference/cli.py:9-14): !!remove drops the last
+    # exchange, !!regen re-generates it, !!save/!!load persist the turns.
+    turns = []
+
+    def history_ids():
+        out = []
+        for u, a in turns:
+            out += u + a
+        return out
+
+    def run_turn(ids):
+        """Generate + stream one assistant reply; returns its token ids."""
         print("ASSISTANT> ", end="", flush=True)
         out_ids = []
         if hasattr(engine, "stream_generate"):
@@ -238,7 +230,67 @@ def main():
             else:
                 print(" ".join(map(str, chunk)), end=" ", flush=True)
         print()
-        history_ids = ids + out_ids
+        return out_ids
+
+    print("samd_tpu chat — !!reset clears context, !!remove drops the last "
+          "exchange, !!regen redoes it, !!save/!!load <path> persist the "
+          "conversation, !!exit quits", file=sys.stderr)
+    while True:
+        try:
+            line = input("USER> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        cmd = line.strip()
+        if cmd == "!!exit":
+            break
+        if cmd == "!!reset":
+            turns = []
+            continue
+        if cmd == "!!remove":
+            if turns:
+                turns.pop()
+            else:
+                print("(nothing to remove)", file=sys.stderr)
+            continue
+        if cmd == "!!regen":
+            if not turns:
+                print("(nothing to regenerate)", file=sys.stderr)
+                continue
+            user_ids, _ = turns.pop()
+            ids = history_ids() + user_ids
+            turns.append([user_ids, run_turn(ids)])
+            continue
+        if cmd.startswith("!!save"):
+            import json
+
+            path = cmd[len("!!save"):].strip() or "conversation.json"
+            with open(path, "w") as f:
+                json.dump(turns, f)
+            print(f"(saved {len(turns)} turns to {path})", file=sys.stderr)
+            continue
+        if cmd.startswith("!!load"):
+            import json
+
+            path = cmd[len("!!load"):].strip() or "conversation.json"
+            try:
+                with open(path) as f:
+                    turns = [list(t) for t in json.load(f)]
+                print(f"(loaded {len(turns)} turns from {path})",
+                      file=sys.stderr)
+            except (OSError, ValueError) as e:
+                print(f"(load failed: {e})", file=sys.stderr)
+            continue
+        if tokenizer is not None:
+            user_ids = tokenizer.encode(line)
+        else:
+            try:
+                user_ids = [int(x) for x in line.split()]
+            except ValueError:
+                print("(token-id mode: enter space-separated ints)",
+                      file=sys.stderr)
+                continue
+        ids = history_ids() + user_ids
+        turns.append([user_ids, run_turn(ids)])
 
 
 if __name__ == "__main__":
