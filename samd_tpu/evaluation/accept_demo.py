@@ -94,6 +94,46 @@ def run(steps: int = 400, vocab: int = 64, new_tokens: int = 48,
         SamdConfig(draft_source="sam_hybrid", tree_method="token_recycle",
                    max_predicts=64, len_threshold=1000))
     log(f"token_recycle (trained): accept {rows['token_recycle_trained']}")
+
+    # --- Token-Recycle order diagnosis (round-2 verdict #5) --------------
+    # TR's harvest table is keyed by ONE token (reference token_recycle
+    # adapter table, evaluation/model/token_recycle/*), i.e. it drafts from
+    # order-1 context.  The demo corpus above is order-2 by design (so
+    # retrieval has something to retrieve), which deliberately withholds
+    # the information TR drafts from: given only the last token there are
+    # ~2 hidden contexts × 2 branches, so the table's top-1 is right only
+    # ~half the time — the measured ~1.5 accept is the CORPUS ceiling, not
+    # a harvest/tree defect.  The diagnosis row trains the same model on an
+    # order-1 corpus (where single-token context carries the mass, as in
+    # natural text) and re-measures: TR's accept must then clear the
+    # reference's 2.83-class range.
+    corpus1 = markov_corpus(vocab, 20000, peak=0.9, branch=2, order=1,
+                            seed=seed + 7)
+    log(f"training order-1 target LM ({steps} steps)...")
+    params1, lm1_tail = train_lm(cfg, corpus1, steps=steps, batch=16,
+                                 seq_len=64, seed=seed + 7)
+    prompts1 = [corpus1[s:s + 32].tolist()
+                for s in rng.integers(0, len(corpus1) - 64, size=4)]
+
+    def measure1(scfg: SamdConfig):
+        eng = SamdEngine(
+            cfg, params1, scfg,
+            make_drafter(scfg, cfg.vocab_size, model_cfg=cfg,
+                         params=params1),
+            max_cache_len=256, eos_token_id=-1, prefill_buckets=(32,))
+        tok = steps_n = 0
+        for p in prompts1:
+            o = eng.generate(p, gen)
+            tok += o.decode_tokens
+            steps_n += o.decode_steps
+        return round(tok / max(steps_n, 1), 3)
+
+    rows["token_recycle_trained_order1"] = measure1(
+        SamdConfig(draft_source="sam_hybrid", tree_method="token_recycle",
+                   max_predicts=64, len_threshold=1000))
+    log(f"token_recycle (trained, order-1 corpus): accept "
+        f"{rows['token_recycle_trained_order1']} "
+        f"(order-2 ceiling row: {rows['token_recycle_trained']})")
     rows["eagle2_trained"], _ = measure(
         SamdConfig(draft_source="sam_hybrid", tree_method="eagle2",
                    max_predicts=64, len_threshold=1000), eagle_net=net)
