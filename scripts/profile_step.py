@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--s", type=int, default=1024)
     ap.add_argument("--m", type=int, default=60)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--model", default="1b", choices=("1b", "7b"),
+                    help="7b implies --int8 (bf16 7B does not fit next to "
+                         "anything else on a 16 GB chip)")
+    ap.add_argument("--flash", action="store_true",
+                    help="flash attention + ds KV layout (dead-tail skip)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -35,14 +40,24 @@ def main():
     from samd_tpu.cache import init_kv_cache
     from samd_tpu.fused_base import make_retrieval_draft, load_corpus_buffer
     from samd_tpu.fused_sam import FusedSamConfig
-    from samd_tpu.models import init_params, llama_1b
+    from samd_tpu.models import init_params, llama_1b, llama_7b
     from samd_tpu.models.llama import block_decode_mask, forward
 
-    cfg = llama_1b()
-    params = init_params(cfg, jax.random.PRNGKey(0))
-    if args.int8:
-        from samd_tpu.ops.quant import quantize_llama_params
-        params = quantize_llama_params(params)
+    if args.model == "7b":
+        from samd_tpu.ops.quant import init_quantized_llama_params
+
+        cfg = llama_7b()
+        params = init_quantized_llama_params(cfg, jax.random.PRNGKey(0))
+    else:
+        cfg = llama_1b()
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        if args.int8:
+            from samd_tpu.ops.quant import quantize_llama_params
+            params = quantize_llama_params(params)
+    if args.flash:
+        from dataclasses import replace as _dcr
+
+        cfg = _dcr(cfg, attention_impl="flash", kv_layout="ds")
 
     S, M, K = args.s, args.m, args.steps
     fc = FusedSamConfig(n_predicts=M - 1, corpus_capacity=4096)
