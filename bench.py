@@ -534,7 +534,21 @@ def main():
         a7_tps = a7_tok / a7_dt
         log(f"7B int8 AR: {a7_tps:.1f} tok/s "
             f"({1000 * a7_dt / max(a7_steps, 1):.1f} ms/step)")
-        p7 = FusedSamEngine(cfg7, params7, fscfg, max_cache_len=MAX_CACHE,
+        # 7B-tuned config (r03 decomposition, scripts/profile_step.py):
+        # (a) per-request cache buckets — 7B KV is 16 KB/token (KH=32,
+        # D=128), so XLA attention over the dead 1024-column tail costs
+        # 2.5-3.8 ms/step; a bucketed cache (smallest >= prompt+budget+
+        # block) makes attention scale with REACHABLE length (an
+        # attention-window SLICE of the big cache recovered nothing — XLA
+        # materializes the copy); (b) M=16 verify block — 7B accept is
+        # ~1.9, and the H=4096 step pays ~1.5 ms going M=16 -> 60.
+        # Measured: 17.1 -> 12.8 ms/step (116 -> 147 tok/s), accept
+        # 1.95 -> 1.88, lossless vs own oracle.  Own-trajectory rule:
+        # probe + engine share the knobs.
+        fscfg7 = FusedSamConfig(steps_per_call=256, corpus_capacity=4096,
+                                n_predicts=15,
+                                cache_buckets=(256, 384, 512, 768))
+        p7 = FusedSamEngine(cfg7, params7, fscfg7, max_cache_len=MAX_CACHE,
                             eos_token_id=-1, prefill_buckets=(128,))
         log("7B int8 fused-sam warmup/compile...")
         p7.generate(warm_prompt, warm)
@@ -542,7 +556,7 @@ def main():
         c7 = []
         for o in o7:
             c7 += o + [0]
-        f7 = FusedSamEngine(cfg7, params7, fscfg, corpus=c7,
+        f7 = FusedSamEngine(cfg7, params7, fscfg7, corpus=c7,
                             max_cache_len=MAX_CACHE, eos_token_id=-1,
                             prefill_buckets=(128,))
         f7.generate(warm_prompt, warm)

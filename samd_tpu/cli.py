@@ -71,14 +71,28 @@ def build_engine(args):
 
         cfg = replace(cfg, kv_quant=True)
 
-    if args.max_cache_len >= 2048 and not args.cpu:
+    if args.max_cache_len >= 2048 and not args.cpu \
+            and cfg.num_kv_heads < 8:
         # long-cache configs: the v2 flash kernel + native-transposed KV
         # layout beat XLA's full-cache attention from S~2048 up (measured
         # crossover, docs/PERFORMANCE.md "Kernel-level"); single-stream
-        # engines only — batched paths keep XLA (kernel is B=1-gated)
+        # engines only — batched paths keep XLA (kernel is B=1-gated).
+        # KH>=8 models instead get per-request cache buckets below (the
+        # flash kernel is DMA-latency-bound at many kv heads).
         from dataclasses import replace
 
         cfg = replace(cfg, attention_impl="flash", kv_layout="ds")
+
+    # big-KV models (7B-class: >=8 KB/token): per-request cache buckets —
+    # attention scales with each request's reachable length instead of the
+    # padded max (17.1 -> 12.8 ms/step measured at 7B;
+    # docs/PERFORMANCE.md "7B step decomposition")
+    kv_bytes_per_tok = 2 * cfg.num_kv_heads * cfg.head_dim * 2
+    cache_buckets = ()
+    if kv_bytes_per_tok >= 8192:
+        cache_buckets = tuple(
+            b for b in (256, 384, 512, 768, 1024, 1536, 2048, 3072)
+            if b < args.max_cache_len)
 
     qdtype = None
     if args.quantize != "none":
@@ -104,10 +118,12 @@ def build_engine(args):
         return quantize_eagle_params(net, dtype=qdtype)
 
     if args.engine == "fused_sam":
-        from .fused_sam import FusedSamEngine
+        from .fused_sam import FusedSamConfig, FusedSamEngine
 
         corpus = static_sam.text if static_sam is not None else None
-        engine = FusedSamEngine(cfg, params, corpus=corpus,
+        engine = FusedSamEngine(cfg, params,
+                                FusedSamConfig(cache_buckets=cache_buckets),
+                                corpus=corpus,
                                 max_cache_len=args.max_cache_len,
                                 eos_token_id=eos)
     elif args.engine == "pld":
@@ -125,10 +141,10 @@ def build_engine(args):
         from .fused_hybrid import FusedHybridConfig, FusedHybridEngine
 
         corpus = static_sam.text if static_sam is not None else None
-        engine = FusedHybridEngine(cfg, params, FusedHybridConfig(),
-                                   corpus=corpus,
-                                   max_cache_len=args.max_cache_len,
-                                   eos_token_id=eos)
+        engine = FusedHybridEngine(
+            cfg, params, FusedHybridConfig(cache_buckets=cache_buckets),
+            corpus=corpus, max_cache_len=args.max_cache_len,
+            eos_token_id=eos)
     elif args.engine == "fused_sam_eagle2":
         from .fused_hybrid import (
             FusedHybridEagleConfig,

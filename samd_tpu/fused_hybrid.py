@@ -61,6 +61,8 @@ class FusedHybridConfig:
     index_grams: tuple = (32, 16, 8, 7, 6, 5, 4, 3, 2, 1)
     index_bucket_cap: int = 8
     index_keep_latest: int = 0
+    # per-request KV-cache buckets (see FusedSamConfig.cache_buckets)
+    cache_buckets: tuple = ()
 
 
 def build_tr_topology(tree_nodes: int, topk: int):
@@ -147,15 +149,18 @@ class FusedHybridEngine:
         self.steps_total = 0
 
     # ------------------------------------------------------------------
-    def _build_prefill(self, P: int):
-        cfg, S, K = self.model_cfg, self.S, self.cfg.topk
+    def _build_prefill(self, P: int, W: int):
+        cfg, K = self.model_cfg, self.cfg.topk
         V = cfg.vocab_size
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-        def prefill(params, kv_k, kv_v, harvest, seen, tokens, true_len):
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def prefill(params, harvest, seen, tokens, true_len):
+            from .cache import init_kv_cache
+
+            kv_k, kv_v = init_kv_cache(cfg, 1, W)
             logits, _, kv_k, kv_v = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :], kv_k, kv_v,
-                jnp.int32(0), prefill_mask(1, P, S))
+                jnp.int32(0), prefill_mask(1, P, W))
             topk = jax.lax.top_k(logits[0], K)[1].astype(jnp.int32)
             rows = jnp.where(jnp.arange(P) < true_len, tokens, V)
             harvest = harvest.at[rows].set(topk)
@@ -168,9 +173,12 @@ class FusedHybridEngine:
         return prefill
 
     def _build_fused(self, sampling: bool = False, temperature: float = 1.0,
-                     top_p: float = 0.0, top_k: int = 0):
+                     top_p: float = 0.0, top_k: int = 0,
+                     window: Optional[int] = None):
         _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         cfg, S = self.model_cfg, self.S
+        # per-request cache bucket: this program's KV is [.., W, ..]
+        W = S if window is None or window >= S else window
         hc = self.cfg
         M = hc.max_block
         Q = hc.max_ngram
@@ -218,7 +226,7 @@ class FusedHybridEngine:
                 (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
                  done, steps, sam_steps, key) = st
                 return (~done & (steps < hc.steps_per_call) & (budget > 0)
-                        & (hist_len + M <= S))
+                        & (hist_len + M <= W))
 
             def body(st):
                 (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
@@ -235,7 +243,7 @@ class FusedHybridEngine:
                 # kill invalid (-1) nodes from acceptance by rewriting their
                 # tokens to -1 in the accept comparison
                 cand_tokens = draft_tokens
-                mask = block_decode_mask(tree_mask, hist_len, S)
+                mask = block_decode_mask(tree_mask, hist_len, W)
                 logits, _, kv_k, kv_v = forward(
                     params, cfg, toks[None], depths[None, :] + hist_len,
                     kv_k, kv_v, hist_len, mask)
@@ -291,29 +299,39 @@ class FusedHybridEngine:
         gen = gen_config or GenerationConfig()
         input_ids = list(input_ids)
         P = _bucket(len(input_ids), self.prefill_buckets)
-        if P not in self._prefill_fns:
-            self._prefill_fns[P] = self._build_prefill(P)
+        Wn = None
+        need = max(len(input_ids) + gen.max_new_tokens + self.cfg.max_block,
+                   P)
+        for w in sorted(self.cfg.cache_buckets):
+            if w >= need and w < self.S:
+                Wn = w
+                break
+        if (P, Wn) not in self._prefill_fns:
+            self._prefill_fns[(P, Wn)] = self._build_prefill(P, Wn or self.S)
         padded = np.zeros(P, np.int32)
         padded[:len(input_ids)] = input_ids
         (self.kv_k, self.kv_v, self.harvest, self.seen, next_token) = \
-            self._prefill_fns[P](self.params, self.kv_k, self.kv_v,
-                                 self.harvest, self.seen, jnp.asarray(padded),
-                                 jnp.int32(len(input_ids)))
+            self._prefill_fns[(P, Wn)](self.params, self.harvest, self.seen,
+                                       jnp.asarray(padded),
+                                       jnp.int32(len(input_ids)))
 
         from .fused_base import init_history
 
         history = init_history(input_ids, self.S)
         hist_len = jnp.int32(len(input_ids))
         budget = jnp.int32(gen.max_new_tokens)
-        if gen.greedy:
+        sig = None if gen.greedy else (gen.temperature, gen.top_p,
+                                       gen.top_k)
+        vkey = (sig, Wn)
+        if vkey == (None, None):
             fused = self._fused
         else:
-            sig = (gen.temperature, gen.top_p, gen.top_k)
-            if sig not in self._fused_sampling:
-                self._fused_sampling[sig] = self._build_fused(
-                    sampling=True, temperature=gen.temperature,
-                    top_p=gen.top_p, top_k=gen.top_k)
-            fused = self._fused_sampling[sig]
+            if vkey not in self._fused_sampling:
+                self._fused_sampling[vkey] = self._build_fused(
+                    sampling=not gen.greedy,
+                    temperature=gen.temperature, top_p=gen.top_p,
+                    top_k=gen.top_k, window=Wn)
+            fused = self._fused_sampling[vkey]
         key = jax.random.PRNGKey(gen.seed)
         start = next_token
         done = False

@@ -70,6 +70,15 @@ class FusedSamConfig:
     index_bucket_cap: int = 8
     # per-bucket extra table of LATEST positions (dual probe); 0 = off
     index_keep_latest: int = 0
+    # per-request KV-cache buckets (ascending): each request allocates its
+    # cache at the smallest bucket >= prompt + budget + block, so the XLA
+    # attention's dot/softmax/read scale with the request's REACHABLE
+    # length instead of the engine's max_cache_len.  Big-KV models
+    # (7B-class, 16 KB/token) pay ~2.5-3.8 ms/step for a dead 1024-column
+    # tail; a true smaller cache recovers it (an attention-window SLICE of
+    # the big cache does not — XLA materializes the slice copy, measured
+    # zero gain).  () = always max_cache_len.
+    cache_buckets: Tuple[int, ...] = ()
 
     @property
     def block(self) -> int:
@@ -247,27 +256,35 @@ class FusedSamEngine:
         self.stats_steps = 0
         self.stats_dyn = 0
 
-    def _build_prefill(self, P: int):
-        cfg, S = self.model_cfg, self.S
+    def _build_prefill(self, P: int, W: int):
+        cfg = self.model_cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def prefill(params, kv_k, kv_v, tokens, true_len):
+        @jax.jit
+        def prefill(params, tokens, true_len):
+            from .cache import init_kv_cache
+
+            kv_k, kv_v = init_kv_cache(cfg, 1, W)
             logits, _, kv_k, kv_v = forward(
                 params, cfg, tokens[None], jnp.arange(P)[None, :], kv_k, kv_v,
-                jnp.int32(0), prefill_mask(1, P, S))
+                jnp.int32(0), prefill_mask(1, P, W))
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
                                                 axis=0, keepdims=False)
             return kv_k, kv_v, jnp.argmax(last).astype(jnp.int32), last
 
         return prefill
 
-    def _build_fused(self, sig: Optional[tuple] = None):
+    def _build_fused(self, sig: Optional[tuple] = None,
+                     window: Optional[int] = None):
         from .fused_base import make_retrieval_draft
 
         sampling = sig is not None
         accept = make_chain_accept_fn(sig) if sampling else None
 
         cfg, S = self.model_cfg, self.S
+        # per-request cache bucket (cfg.cache_buckets): this program's KV
+        # cache is [.., W, ..] — attention reads W columns, not the padded
+        # max_cache_len (history stays full-S; it is int32-cheap)
+        W = S if window is None or window >= S else window
         fc = self.cfg
         M = fc.block
         Q = fc.max_ngram
@@ -300,15 +317,15 @@ class FusedSamEngine:
                 (kv_k, kv_v, history, hist_len, start, budget, done, steps,
                  dyn_steps, key) = st
                 return (~done & (steps < fc.steps_per_call) & (budget > 0)
-                        & (hist_len + M <= S))
+                        & (hist_len + M <= W))
 
             def body(st):
                 (kv_k, kv_v, history, hist_len, start, budget, done, steps,
                  dyn_steps, key) = st
                 draft_tokens, draft_len, use_dyn = make_draft(
                     history, hist_len, start)
-                s = jnp.arange(S)[None, None, :]
-                mask = block_decode_mask(tri, hist_len, S)
+                s = jnp.arange(W)[None, None, :]
+                mask = block_decode_mask(tri, hist_len, W)
                 in_block = (s >= hist_len) & (s < hist_len + M)
                 mask = mask & (~in_block | (s < hist_len + draft_len))
                 mask = mask | (s == (hist_len + chain_pos)[None, :, None])
@@ -363,22 +380,30 @@ class FusedSamEngine:
         gen = gen_config or GenerationConfig()
         input_ids = list(input_ids)
         P = _bucket(len(input_ids), self.prefill_buckets)
-        if P not in self._prefill_fns:
-            self._prefill_fns[P] = self._build_prefill(P)
+        # cache bucket: the smallest configured size covering this
+        # request's reachable length (prompt + budget + block)
+        Wn = None
+        need = max(len(input_ids) + gen.max_new_tokens + self.cfg.block, P)
+        for w in sorted(self.cfg.cache_buckets):
+            if w >= need and w < self.S:
+                Wn = w
+                break
+        if (P, Wn) not in self._prefill_fns:
+            self._prefill_fns[(P, Wn)] = self._build_prefill(P, Wn or self.S)
         padded = np.zeros(P, np.int32)
         padded[:len(input_ids)] = input_ids
-        self.kv_k, self.kv_v, next_token, last_logits = self._prefill_fns[P](
-            self.params, self.kv_k, self.kv_v, jnp.asarray(padded),
-            jnp.int32(len(input_ids)))
+        self.kv_k, self.kv_v, next_token, last_logits = \
+            self._prefill_fns[(P, Wn)](self.params, jnp.asarray(padded),
+                                       jnp.int32(len(input_ids)))
         key = jax.random.PRNGKey(gen.seed)
-
-        if gen.greedy:
-            fused = self._fused
-        else:
-            sig = gen.sampling_signature
-            if sig not in self._fused_sampling:
-                self._fused_sampling[sig] = self._build_fused(sig)
-            fused = self._fused_sampling[sig]
+        sig = None if gen.greedy else gen.sampling_signature
+        vkey = (sig, Wn)
+        if vkey not in self._fused_sampling:
+            self._fused_sampling[vkey] = (
+                self._fused if vkey == (None, None)
+                else self._build_fused(sig, window=Wn))
+        fused = self._fused_sampling[vkey]
+        if not gen.greedy:
             if gen.temperature > 0:
                 key, sub = jax.random.split(key)
                 next_token = jax.random.categorical(

@@ -168,6 +168,118 @@ def _kernel(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref, *,
     )
 
 
+def _kernel_foldkv(kv_limit_ref, q_ref, kT_hbm, vT_hbm, mask_hbm, out_ref,
+                   *, block_s: int, scale: float, T: int, KH: int,
+                   scales_hbm=None):
+    """Block-major variant for MANY-kv-head models (7B-class: KH=32).
+
+    ``_kernel`` loops (head × block) with per-head [D, block] DMAs — at
+    KH=32 and short live prefixes that is 32+ serialized tiny DMAs per
+    layer and the kernel is latency-bound (measured: WORSE than XLA's
+    full-cache read at 7B).  Here each KV block is DMA'd ONCE for all
+    heads ([KH, D, block] slices, double-buffered across blocks) and the
+    per-head flash update runs from VMEM (unrolled 2-D dots — Mosaic has
+    no batched dot).  DMA count: cdiv(live, block) per layer instead of
+    KH × cdiv(live, block).
+
+    VMEM: 2 × 2 × KH·D·block·dtype buffers + [KH, R, D] f32 accumulators —
+    at 7B shapes (KH=32, D=128, block 256, bf16) that is 8 MB of KV
+    buffers; callers cap block_s accordingly."""
+    _, R, D = q_ref.shape
+    S = kT_hbm.shape[2]
+    G = R // T
+    quantized = scales_hbm is not None
+    kv_limit = kv_limit_ref[0]
+    num_blocks = pl.cdiv(jnp.minimum(kv_limit, S), block_s)
+    jw = (kv_limit - T) // block_s
+
+    def body(k_buf, v_buf, s_buf, m_buf, sem_k, sem_v, sem_s, sem_m, acc,
+             m_i, l_i):
+        mask_cp = pltpu.make_async_copy(mask_hbm, m_buf, sem_m)
+        mask_cp.start()
+
+        def get_copies(j, slot):
+            off = pl.multiple_of(j * block_s, block_s)
+            copies = (
+                pltpu.make_async_copy(kT_hbm.at[:, :, pl.ds(off, block_s)],
+                                      k_buf.at[slot], sem_k.at[slot]),
+                pltpu.make_async_copy(vT_hbm.at[:, :, pl.ds(off, block_s)],
+                                      v_buf.at[slot], sem_v.at[slot]),
+            )
+            if quantized:
+                copies += (pltpu.make_async_copy(
+                    scales_hbm.at[:, :, pl.ds(off, block_s)],
+                    s_buf.at[slot], sem_s.at[slot]),)
+            return copies
+
+        for c in get_copies(0, 0):
+            c.start()
+        mask_cp.wait()
+        acc[:] = jnp.zeros_like(acc)
+        m_i[:] = jnp.full_like(m_i, NEG_INF)
+        l_i[:] = jnp.zeros_like(l_i)
+
+        def loop(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < num_blocks)
+            def _():
+                for c in get_copies(j + 1, (j + 1) % 2):
+                    c.start()
+
+            for c in get_copies(j, slot):
+                c.wait()
+
+            rel = j - jw
+            off = jnp.maximum(rel, 0) * block_s
+            mask_t = (m_buf[:T, pl.ds(off, block_s)] != 0) | (rel < 0)
+            mask_r = jnp.broadcast_to(mask_t[None], (G, T, block_s)
+                                      ).reshape(R, block_s)
+            for h in range(KH):          # unrolled: VMEM-resident per-head
+                q = q_ref[h].astype(jnp.float32)             # [R, D]
+                if quantized:
+                    sc = s_buf[slot, h]                      # [2, BS]
+                    kT = k_buf[slot, h].astype(jnp.float32) * sc[0][None]
+                    vT = v_buf[slot, h].astype(jnp.float32) * sc[1][None]
+                else:
+                    kT = k_buf[slot, h].astype(jnp.float32)  # [D, BS]
+                    vT = v_buf[slot, h].astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    q, kT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(mask_r, s, NEG_INF)
+                m_new = jnp.maximum(m_i[h], jnp.max(s, axis=1,
+                                                    keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_i[h] - m_new)
+                l_i[h] = l_i[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc[h] = acc[h] * alpha + jax.lax.dot_general(
+                    p, vT, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m_i[h] = m_new
+            return 0
+
+        jax.lax.fori_loop(0, num_blocks, loop, 0)
+        out_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)
+                        ).astype(out_ref.dtype)
+
+    Tp, W = mask_hbm.shape
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((2, KH, D, block_s), kT_hbm.dtype),
+        v_buf=pltpu.VMEM((2, KH, D, block_s), vT_hbm.dtype),
+        s_buf=pltpu.VMEM((2, KH, 2, block_s), jnp.float32),
+        m_buf=pltpu.VMEM((Tp, W), jnp.int8),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
+        sem_s=pltpu.SemaphoreType.DMA((2,)),
+        sem_m=pltpu.SemaphoreType.DMA(()),
+        acc=pltpu.VMEM((KH, R, D), jnp.float32),
+        m_i=pltpu.VMEM((KH, R, 1), jnp.float32),
+        l_i=pltpu.VMEM((KH, R, 1), jnp.float32),
+    )
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_s", "interpret", "pre_transposed"))
 def flash_block_attention(q: jax.Array, k, v,
@@ -199,6 +311,17 @@ def flash_block_attention(q: jax.Array, k, v,
         _, KH, S, _ = k.shape
     G = NH // KH
     R = G * T
+    # many-kv-head models (7B-class, KH>=8): block-major kernel — one
+    # [KH, D, block] DMA per block instead of KH per-head DMAs (see
+    # _kernel_foldkv).  Its KV VMEM is KH-proportional, so cap the block
+    # size to ~8 MB of double-buffered k+v (floor 128 lanes; T <= block
+    # must hold for the 2-block boundary window).
+    fold_kv = KH >= 8
+    if fold_kv:
+        itemsize = 1 if quantized else 2
+        cap = max(128, (8 << 20) // (4 * KH * D * itemsize) // 128 * 128)
+        block_s = min(block_s, cap)
+        block_s = max(block_s, _round_up(T, 128))
     block_s = min(block_s, S)
     assert S % block_s == 0, (S, block_s)
     assert T <= block_s, (T, block_s)
@@ -235,17 +358,18 @@ def flash_block_attention(q: jax.Array, k, v,
                                memory_space=pltpu.VMEM),
     )
 
+    kern = _kernel_foldkv if fold_kv else _kernel
     if quantized:
         def kernel(kv_limit_ref, q_ref, k_ref, v_ref, s_ref, mask_ref,
                    out_ref):
-            _kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
-                    block_s=block_s, scale=D ** -0.5, T=T, KH=KH,
-                    scales_hbm=s_ref)
+            kern(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                 block_s=block_s, scale=D ** -0.5, T=T, KH=KH,
+                 scales_hbm=s_ref)
         operands = (qh, kT, vT, scales, win8)
     else:
         def kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref):
-            _kernel(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
-                    block_s=block_s, scale=D ** -0.5, T=T, KH=KH)
+            kern(kv_limit_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                 block_s=block_s, scale=D ** -0.5, T=T, KH=KH)
         operands = (qh, kT, vT, win8)
 
     out = pl.pallas_call(

@@ -12,9 +12,13 @@ Usage: python scripts/profile_step.py [--steps 64] [--s 1024] [--int8]
 
 import argparse
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -28,6 +32,13 @@ def main():
                          "anything else on a 16 GB chip)")
     ap.add_argument("--flash", action="store_true",
                     help="flash attention + ds KV layout (dead-tail skip)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="static attention window (llama.forward "
+                         "attn_window); 0 = full cache")
+    ap.add_argument("--flash-block", type=int, default=512,
+                    help="flash kernel KV block size (dead-tail skip "
+                         "granularity; 7B wants small blocks — its KV is "
+                         "16 KB/token so the padded tail costs ~3.8 ms)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -57,7 +68,8 @@ def main():
     if args.flash:
         from dataclasses import replace as _dcr
 
-        cfg = _dcr(cfg, attention_impl="flash", kv_layout="ds")
+        cfg = _dcr(cfg, attention_impl="flash", kv_layout="ds",
+                   flash_block_s=args.flash_block)
 
     S, M, K = args.s, args.m, args.steps
     fc = FusedSamConfig(n_predicts=M - 1, corpus_capacity=4096)
@@ -75,15 +87,18 @@ def main():
         rng.integers(3, cfg.vocab_size, size=S).astype(np.int32))
     hist_len0 = jnp.int32(128)
 
+    Wn = args.window if args.window and args.window < S else None
+    Wc = Wn or S
+
     def fwd_block(params, kv_k, kv_v, tokens, hist_len, draft_len):
-        s = jnp.arange(S)[None, None, :]
-        mask = block_decode_mask(tri, hist_len, S)
+        s = jnp.arange(Wc)[None, None, :]
+        mask = block_decode_mask(tri, hist_len, Wc)
         in_block = (s >= hist_len) & (s < hist_len + M)
         mask = mask & (~in_block | (s < hist_len + draft_len))
         mask = mask | (s == (hist_len + chain_pos)[None, :, None])
         logits, _, kv_k, kv_v = forward(
             params, cfg, tokens[None], chain_pos[None, :] + hist_len,
-            kv_k, kv_v, hist_len, mask)
+            kv_k, kv_v, hist_len, mask, attn_window=Wn)
         return logits, kv_k, kv_v
 
     # --- (a) forward only, K times (fixed tokens; carry a token to chain) --

@@ -144,3 +144,30 @@ def test_hybrid_eagle_uses_retrieval_with_corpus(tiny_model):
     assert out.output_ids == ref.output_ids
     assert out.decode_steps < ref.decode_steps
     assert eng.sam_steps > 0
+
+
+def test_hybrid_cache_buckets_match_full_cache(tiny_model):
+    """FusedHybridConfig.cache_buckets: window program == full-cache
+    program (fp32 tiny config)."""
+    import numpy as np
+
+    from samd_tpu.config import GenerationConfig
+
+    cfg, params = tiny_model
+    base = dict(n_predicts=12, len_threshold=3, tree_nodes=13, topk=4,
+                steps_per_call=5, corpus_capacity=256, max_block=16,
+                approx_harvest=False)
+    gen = GenerationConfig(max_new_tokens=20, max_cache_len=256)
+    prompts = [np.random.default_rng(23).integers(3, 128, size=16).tolist()
+               for _ in range(2)]
+    full = FusedHybridEngine(cfg, params, FusedHybridConfig(**base),
+                             max_cache_len=256, eos_token_id=-1,
+                             prefill_buckets=(32,))
+    win = FusedHybridEngine(
+        cfg, params,
+        FusedHybridConfig(**base, cache_buckets=(64, 128)),
+        max_cache_len=256, eos_token_id=-1, prefill_buckets=(32,))
+    for p in prompts:
+        assert win.generate(p, gen).output_ids == \
+            full.generate(p, gen).output_ids
+    assert any(k[1] == 64 for k in win._fused_sampling)

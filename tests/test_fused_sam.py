@@ -239,3 +239,33 @@ def test_fused_sam_posterior_accept_modes(tiny_model):
         b = eng.generate(p, gen)
         assert a.output_ids == b.output_ids, mode
         assert all(0 <= t < cfg.vocab_size for t in a.output_ids), mode
+
+
+def test_cache_buckets_match_full_cache(tiny_model):
+    """cache_buckets: a bucketed-cache program must produce the same
+    tokens as the full-cache program (tiny config is fp32-exact, so the
+    narrower softmax reduction cannot flip anything here)."""
+    cfg, params = tiny_model
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(3, 128, size=16).tolist() for _ in range(3)]
+
+    full = FusedSamEngine(cfg, params,
+                          FusedSamConfig(n_predicts=15, steps_per_call=6,
+                                         corpus_capacity=256),
+                          max_cache_len=256, eos_token_id=-1,
+                          prefill_buckets=(32,))
+    expected = [full.generate(p, gen) for p in prompts]
+
+    win = FusedSamEngine(cfg, params,
+                         FusedSamConfig(n_predicts=15, steps_per_call=6,
+                                        corpus_capacity=256,
+                                        cache_buckets=(64, 128)),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    # need = 16 + 24 + 16 = 56 -> the 64-token window bucket
+    for p, exp in zip(prompts, expected):
+        out = win.generate(p, gen)
+        assert out.output_ids == exp.output_ids
+        assert out.decode_tokens == exp.decode_tokens
+    assert (None, 64) in win._fused_sampling  # the window program ran

@@ -244,3 +244,34 @@ def test_batched_hybrid_kv_quant_lossless(qmodel):
     outs = eng.run()
     for rid, ref in zip(rids, refs):
         assert outs[rid].output_ids == ref
+
+
+def test_flash_foldkv_quantized_matches_xla():
+    """int8-KV through the block-major fold-KV kernel (KH>=8, the 7B-class
+    path: one [KH, 2, block] scale DMA + [KH, D, block] KV DMAs per
+    block)."""
+    from samd_tpu.models import tiny_config
+    from samd_tpu.models.llama import _attention, block_decode_mask
+    from samd_tpu.ops.pallas_attention import flash_block_attention
+
+    cfg = replace(tiny_config(num_kv_heads=4), num_heads=8, num_kv_heads=8,
+                  kv_quant=True, kv_layout="ds")
+    rng = np.random.default_rng(9)
+    KH, D, S, T, NH = 8, cfg.head_dim, 128, 5, 8
+    cache_len = 37
+    kv_k, _ = init_kv_cache(cfg, 1, S)
+    def mk():
+        return QuantizedKV(
+            jnp.asarray(rng.integers(-127, 128, kv_k.q.shape[1:]), jnp.int8),
+            jnp.asarray(0.01 + rng.random(kv_k.scale.shape[1:]),
+                        jnp.float32))
+    k, v = mk(), mk()
+    q = jnp.asarray(rng.standard_normal((1, T, NH, D)), jnp.float32)
+    tree = jnp.tril(jnp.ones((T, T), bool))
+    mask = block_decode_mask(tree, jnp.int32(cache_len), S)
+    ref = _attention(q, k, v, mask, cfg)
+    got = flash_block_attention(q, k, v, mask, jnp.int32(cache_len + T),
+                                block_s=512, pre_transposed=True,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

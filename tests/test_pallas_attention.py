@@ -32,6 +32,8 @@ def make_case(T, NH, KH, D, S, cache_len, seed=0):
     (8, 8, 2, 16, 128, 40),     # GQA G=4
     (16, 4, 2, 32, 256, 100),   # bigger
     (8, 4, 2, 16, 128, 120),    # kv_limit == S boundary
+    (8, 8, 8, 16, 128, 40),     # KH>=8: block-major fold-KV kernel (7B-class)
+    (16, 16, 8, 32, 256, 180),  # fold-KV, GQA, deeper prefix
 ])
 def test_matches_xla(T, NH, KH, D, S, cache_len):
     q, k, v, mask, kv_limit = make_case(T, NH, KH, D, S, cache_len)
