@@ -995,7 +995,7 @@ def main():
                 f"longcache8k_fused_sam_{label}_equal": l_equal == 2,
             })
             del probe, engl
-        detail["longcache8k_flash_vs_xla_step_time_ratio"] = round(
+        detail["longcache8k_flash_vs_xla_ratio"] = round(
             lc_rows["flash"] / lc_rows["xla"], 3)
     except Exception:
         log("long-cache section FAILED:\n" + traceback.format_exc())
@@ -1310,6 +1310,40 @@ def main():
         })
     except Exception:
         log("trained-accept section FAILED:\n" + traceback.format_exc())
+    em.emit()
+
+    # --- end-to-end Spec-Bench pipeline (trained tiny model) ---------------
+    # Runs the COMPLETE reference eval stack on this TPU: question file ->
+    # run_eval (warmup/multi-turn/fault-tolerance) -> answer JSONL ->
+    # reorg -> speed.py per-task speedups -> equal.py, with the trained
+    # tiny model over the synthetic Spec-Bench-shaped suite
+    # (samd_tpu/evaluation/specbench_demo.py; reference:
+    # evaluation/eval_vicuna.py + speed.py + equal.py).
+    try:
+        from samd_tpu.evaluation.specbench_demo import run as specbench_run
+
+        log("spec-bench pipeline demo (trained tiny model, full eval "
+            "stack)...")
+        t0 = time.perf_counter()
+        sb = specbench_run(steps=300, vocab=64, per_task=2, new_tokens=64)
+        log(f"spec-bench pipeline done in {time.perf_counter() - t0:.1f}s")
+        for name, row in sb["engines"].items():
+            detail[f"specbench_{name}_task_speedups"] = row["speedup"]
+            detail[f"specbench_{name}_mean_accept"] = row["mean_accept"]
+            detail[f"specbench_{name}_equal"] = (
+                row["outputs_equal_vs_block_oracle"])
+            detail[f"specbench_{name}_errors"] = row["errors"]
+        detail.update({
+            "specbench_sam_only_speedup":
+                sb["engines"]["sam_only"]["speedup"].get("overall"),
+            "specbench_fused_sam_speedup":
+                sb["engines"]["fused_sam"]["speedup"].get("overall"),
+            "specbench_equal": all(
+                row["outputs_equal_vs_block_oracle"]
+                for row in sb["engines"].values()),
+        })
+    except Exception:
+        log("spec-bench pipeline section FAILED:\n" + traceback.format_exc())
     em.emit()
 
     # Synthetic-workload engine-mechanics speedup, NOT a Spec-Bench claim:

@@ -67,7 +67,11 @@ HEADLINE_KEYS = (
     "fused_sam_nucleus_ms_per_step",
     "trained_accept_eagle2",
     "trained_accept_token_recycle",
-    "longcache8k_flash_vs_xla_step_time_ratio",
+    "longcache8k_flash_vs_xla_ratio",
+    # end-to-end Spec-Bench pipeline (trained tiny model); the sam_only
+    # per-task table lives in the detail file
+    "specbench_fused_sam_speedup",
+    "specbench_equal",
 )
 
 

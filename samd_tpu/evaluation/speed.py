@@ -49,7 +49,13 @@ def speedup(answer_path: str, baseline_path: str) -> Dict[str, float]:
 
 
 def mean_accepted_tokens(path: str) -> float:
+    """Mean accepted tokens per decode step.  Uses the per-step accept
+    lists when present (host engines); fused device-loop engines return
+    only aggregate counters, so fall back to new_tokens/idxs — the same
+    ratio the reference computes from its answer files
+    (/root/reference/evaluation/speed.py:24-29)."""
     total = count = 0
+    tok = steps = 0
     with open(path) as f:
         for line in f:
             if not line.strip():
@@ -59,7 +65,11 @@ def mean_accepted_tokens(path: str) -> float:
                 for accepts in choice.get("accept_lengths", []):
                     total += sum(accepts)
                     count += len(accepts)
-    return total / count if count else 0.0
+                tok += sum(choice.get("new_tokens", []))
+                steps += sum(choice.get("idxs", []))
+    if count:
+        return total / count
+    return tok / steps if steps else 0.0
 
 
 def mean_report(answer_paths: List[str], baseline_paths: List[str]) -> Dict:

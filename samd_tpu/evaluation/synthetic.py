@@ -36,7 +36,12 @@ TASKS = {
 
 def make_questions(vocab_size: int, *, per_task: int = 2,
                    seed: int = 0, tasks: Optional[List[str]] = None,
-                   ) -> List[Question]:
+                   corpus=None) -> List[Question]:
+    """When ``corpus`` (a 1-D token array, e.g. the training corpus of a
+    trained demo model) is given, overlap-task prompts are corpus slices —
+    the document-grounded regime (summarization/RAG) where the reference's
+    retrieval speedups are largest (README.md:50-57); cold tasks stay
+    fresh-random."""
     rng = np.random.default_rng(seed)
     out = []
     qid = 0
@@ -46,9 +51,15 @@ def make_questions(vocab_size: int, *, per_task: int = 2,
         for _ in range(per_task):
             turns = []
             for _t in range(spec["turns"]):
-                ids = rng.integers(3, vocab_size,
-                                   size=spec["prompt_len"]).tolist()
-                if spec["overlap"]:
+                if spec["overlap"] and corpus is not None:
+                    start = int(rng.integers(
+                        0, len(corpus) - spec["prompt_len"]))
+                    ids = [int(t) for t in
+                           corpus[start:start + spec["prompt_len"]]]
+                else:
+                    ids = rng.integers(3, vocab_size,
+                                       size=spec["prompt_len"]).tolist()
+                if spec["overlap"] and corpus is None:
                     # repeat a span inside the prompt: retrieval fodder
                     span = ids[:spec["prompt_len"] // 3]
                     ids = ids + span
