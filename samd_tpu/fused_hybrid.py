@@ -453,6 +453,20 @@ class BatchedFusedHybridEngine:
     def _fused_extra_args(self) -> tuple:
         return ()
 
+    # device-state plumbing hooks: the scheduler run() is state-agnostic so
+    # the EAGLE-2 subclass (draft-net KV + last hidden instead of harvest
+    # tables) reuses it unchanged
+    def _fused_static_args(self) -> tuple:
+        return (self.params,)
+
+    def _device_state(self) -> tuple:
+        return (self.kv_k, self.kv_v, self.harvests, self.seens,
+                self.histories)
+
+    def _set_device_state(self, state) -> None:
+        (self.kv_k, self.kv_v, self.harvests, self.seens,
+         self.histories) = state
+
     def _release_slot(self, slot: int) -> None:
         pass
 
@@ -740,14 +754,14 @@ class BatchedFusedHybridEngine:
             else:
                 fused = self._fused
             self._pre_segment(hist_lens, actives)
-            (self.kv_k, self.kv_v, self.harvests, self.seens,
-             self.histories, ctrl) = fused(
-                self.params, self.kv_k, self.kv_v, self.harvests,
-                self.seens, self.histories, jnp.asarray(hist_lens),
+            *state, ctrl = fused(
+                *self._fused_static_args(), *self._device_state(),
+                jnp.asarray(hist_lens),
                 jnp.asarray(starts), jnp.asarray(budgets),
                 jnp.asarray(actives), jnp.int32(self.eos_token_id),
                 jnp.asarray(keys), jnp.asarray(samp_flags),
                 jnp.bool_(bool(self.queue)), *self._fused_extra_args())
+            self._set_device_state(state)
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
             starts = ctrl_np[1].copy()
@@ -1145,3 +1159,314 @@ class FusedHybridEagleEngine:
                                      self.eos_token_id, gen.max_new_tokens)
         return Outputs(output, len(output) - len(input_ids), decode_steps,
                        [])
+
+
+class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
+    """B request slots × SAM[EAGLE-2] in one fused device loop.
+
+    The reference's strongest-accept configuration (README.md:57) under
+    continuous batching: every live slot picks retrieval CHAIN vs an
+    EAGLE-2 beam TREE per step from its own suffix match, the draft net's
+    beam expansion runs vmapped over slots against per-slot draft-net KV,
+    and each slot's stable net KV extends with its accepted (token, target
+    hidden) pairs.  Reuses BatchedFusedHybridEngine's scheduler verbatim
+    (admit/finish on segment boundaries, one packed control fetch per
+    segment) through the device-state hooks — the per-slot state here is
+    (draft-net KV, last hidden) instead of (harvest table, seen mask)."""
+
+    def __init__(self, model_cfg: ModelConfig, params: Params,
+                 hy_cfg: Optional[FusedHybridEagleConfig] = None, *,
+                 net_params=None,
+                 corpus: Optional[Sequence[int]] = None,
+                 batch_size: int = 4, max_cache_len: int = 2048,
+                 eos_token_id: int = 2,
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024,
+                                                   2048)):
+        from .drafters.eagle.net import (
+            EagleNetConfig,
+            init_eagle_kv,
+            init_eagle_params,
+        )
+        from .fused_base import build_optional_index, load_corpus_buffer
+
+        self.model_cfg = model_cfg
+        self.params = params
+        self.cfg = hy_cfg or FusedHybridEagleConfig(steps_per_call=16)
+        assert self.cfg.max_block >= max(self.cfg.n_predicts,
+                                         self.cfg.eagle_total + 1)
+        self.B = batch_size
+        self.S = max_cache_len
+        self.eos_token_id = eos_token_id
+        self.prefill_buckets = tuple(b for b in prefill_buckets
+                                     if b <= max_cache_len)
+        self.net_cfg = EagleNetConfig.from_target(model_cfg)
+        if net_params is None:
+            net_params = init_eagle_params(self.net_cfg,
+                                           jax.random.PRNGKey(7))
+        self.net_params = net_params
+
+        self._init_kv()
+        self.ekv_k, self.ekv_v = init_eagle_kv(self.net_cfg, batch_size,
+                                               max_cache_len)
+        self.last_hiddens = jnp.zeros(
+            (batch_size, model_cfg.hidden_size), model_cfg.dtype)
+        self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
+        self.corpus, self.corpus_len = load_corpus_buffer(
+            corpus, self.cfg.corpus_capacity)
+        self.corpus_index = build_optional_index(corpus, self.cfg)
+        self._prefill_fns: Dict[int, callable] = {}
+        self._fused = self._build_fused()
+        self._fused_sampling: Dict[tuple, callable] = {}
+        self.sam_steps_total = 0
+        self.steps_total = 0
+        self._slot_req = [None] * batch_size
+        self._slot_prompt = [0] * batch_size
+        self._slot_max_new = [0] * batch_size
+        self._slot_steps = [0] * batch_size
+        self.queue = []
+        self.results = {}
+        self._next_id = 0
+
+    def _head(self):
+        return (self.params["embed"].T if self.model_cfg.tie_embeddings
+                else self.params["lm_head"])
+
+    # -- device-state hooks (scheduler run() is inherited) ----------------
+    def _fused_static_args(self) -> tuple:
+        return (self.params, self.net_params)
+
+    def _device_state(self) -> tuple:
+        return (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v,
+                self.histories, self.last_hiddens)
+
+    def _set_device_state(self, state) -> None:
+        (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v,
+         self.histories, self.last_hiddens) = state
+
+    def _prefill_slot(self, slot: int, ids):
+        P = _bucket(len(ids), self.prefill_buckets)
+        if P not in self._prefill_fns:
+            self._prefill_fns[P] = self._build_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(ids)] = ids
+        (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, self.histories,
+         self.last_hiddens, nt, last_logits) = self._prefill_fns[P](
+            self.params, self.net_params, self.kv_k, self.kv_v,
+            self.ekv_k, self.ekv_v, self.histories, self.last_hiddens,
+            jnp.asarray(padded), jnp.int32(len(ids)), jnp.int32(slot))
+        return nt, last_logits
+
+    # ------------------------------------------------------------------
+    def _build_prefill(self, P: int):
+        from .drafters.eagle.net import eagle_forward, init_eagle_kv
+
+        cfg, ncfg, S = self.model_cfg, self.net_cfg, self.S
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
+        def prefill(params, net_params, kv_k, kv_v, ekv_k, ekv_v,
+                    histories, last_hiddens, tokens, true_len, slot):
+            from .cache import init_kv_cache, update_slot
+
+            fk, fv = init_kv_cache(cfg, 1, S)
+            logits, hidden, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, S))
+            kv_k = update_slot(kv_k, fk, slot)
+            kv_v = update_slot(kv_v, fv, slot)
+            # draft-net prefill over (token[1:], hidden[:-1]) pairs
+            ek, ev = init_eagle_kv(ncfg, 1, S)
+            s = jnp.arange(S)[None, :]
+            mask = (s <= jnp.arange(P)[:, None])[None]
+            _, ek, ev = eagle_forward(
+                net_params, ncfg, params["embed"][tokens[1:]][None],
+                hidden[0][:-1][None], jnp.arange(P - 1)[None, :],
+                ek, ev, jnp.int32(0), mask[:, :P - 1])
+            ekv_k = jax.lax.dynamic_update_slice(
+                ekv_k, ek, (slot, 0, 0, 0))
+            ekv_v = jax.lax.dynamic_update_slice(
+                ekv_v, ev, (slot, 0, 0, 0))
+            row = jnp.zeros((1, S), jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
+            histories = jax.lax.dynamic_update_slice(histories, row,
+                                                     (slot, 0))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            last_hidden = jax.lax.dynamic_index_in_dim(
+                hidden[0], true_len - 1, axis=0, keepdims=False)
+            last_hiddens = jax.lax.dynamic_update_slice(
+                last_hiddens, last_hidden[None].astype(last_hiddens.dtype),
+                (slot, 0))
+            return (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                    jnp.argmax(last).astype(jnp.int32), last)
+
+        return prefill
+
+    def _build_fused(self, sig: Optional[tuple] = None):
+        from .cache import compact_accepted_batched
+        from .drafters.eagle.net import eagle_forward
+        from .eagle_fused import make_eagle_expand
+        from .fused_base import make_retrieval_draft
+        from .verify import make_accept_fn
+
+        sampling = sig is not None
+        accept = make_accept_fn(sig) if sampling else None
+        cfg, ncfg, S, B = self.model_cfg, self.net_cfg, self.S, self.B
+        hc = self.cfg
+        M = hc.max_block
+        expand, TREE_SLOTS = make_eagle_expand(
+            net_cfg=ncfg, embed=self.params["embed"], head=self._head(),
+            S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
+            total=hc.eagle_total, M=M)
+        retrieve = make_retrieval_draft(
+            S=S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
+            block=M, corpus_index=self.corpus_index)
+        chain_parents = jnp.concatenate([
+            jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
+            jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
+        embed = self.params["embed"]
+
+        def retrieval_draft(history, hist_len, start):
+            match, _, raw, cont_avail = retrieve(history, hist_len, start)
+            avail = jnp.minimum(cont_avail, hc.n_predicts - 1)
+            keep = jnp.arange(M - 1) < avail
+            tokens = jnp.concatenate([
+                raw[:1], jnp.where(keep, raw[1:], -1)]).astype(jnp.int32)
+            tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
+            return match, tokens
+
+        def expand1(net_params, ek, ev, stable_len, last_hidden, start):
+            # vmap strips the slot axis; the single-stream expansion wants
+            # a leading batch dim of 1 on the net KV
+            packed, ek2, ev2 = expand(net_params, ek[None], ev[None],
+                                      stable_len, last_hidden, start)
+            return packed, ek2[0], ev2[0]
+
+        def extend1(net_params, ek, ev, acc_emb, prev_h, offs):
+            # extend one slot's stable net KV with its accepted pairs
+            Dp = acc_emb.shape[0]
+            s_idx = jnp.arange(S)[None, :]
+            emask = (s_idx <= (offs + jnp.arange(Dp))[:, None])[None]
+            _, ek2, ev2 = eagle_forward(
+                net_params, ncfg, acc_emb[None], prev_h[None],
+                (offs + jnp.arange(Dp))[None], ek[None], ev[None], offs,
+                emask)
+            return ek2[0], ev2[0]
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
+        def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, histories,
+                  last_hiddens, hist_lens, starts, budgets, actives, eos_id,
+                  keys, samp_flags, refill):
+            init_lives = actives & (budgets > 0) & \
+                (hist_lens + M <= S) & (hist_lens + TREE_SLOTS <= S)
+
+            def cond(st):
+                (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                 hist_lens, starts, budgets, lives, steps, slot_steps,
+                 sam_steps, keys) = st
+                freed = jnp.any(init_lives & ~lives)
+                return (jnp.any(lives) & (steps < hc.steps_per_call)
+                        & ~(refill & freed))
+
+            def body(st):
+                (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                 hist_lens, starts, budgets, lives, steps, slot_steps,
+                 sam_steps, keys) = st
+                matches, chain_tokens = jax.vmap(retrieval_draft)(
+                    histories, hist_lens, starts)            # [B], [B, M]
+                use_sam = matches >= hc.len_threshold        # [B]
+                eagle_packed, ekv_k, ekv_v = jax.vmap(
+                    expand1, in_axes=(None, 0, 0, 0, 0, 0))(
+                    net_params, ekv_k, ekv_v, hist_lens - 1, last_hiddens,
+                    starts)                                  # [B, 2, M]
+                draft_tokens = jnp.where(use_sam[:, None], chain_tokens,
+                                         eagle_packed[:, 0])
+                parents = jnp.where(use_sam[:, None], chain_parents[None],
+                                    eagle_packed[:, 1])
+                packed = jnp.stack([jnp.maximum(draft_tokens, 0), parents],
+                                   axis=1)                   # [B, 2, M]
+                toks, tree_mask, depths, paths = jax.vmap(
+                    lambda d: unpack_draft(d, M))(packed)
+                masks = jax.vmap(
+                    lambda tm, hl: block_decode_mask(tm, hl, S)[0]
+                )(tree_mask, hist_lens)                      # [B, M, S]
+                logits, hidden, kv_k, kv_v = forward(
+                    params, cfg, toks, depths + hist_lens[:, None],
+                    kv_k, kv_v, hist_lens, masks)
+                res = jax.vmap(greedy_accept)(logits, draft_tokens, paths)
+                alens = res.accept_len
+                path_nodes = res.path_nodes
+                acc = res.accepted_tokens
+                bonus = res.next_token
+                if sampling:
+                    split = jax.vmap(jax.random.split)(keys)
+                    subs, keys = split[:, 0], split[:, 1]
+                    res_s = jax.vmap(accept)(logits, draft_tokens, paths,
+                                             subs)
+                    alens = jnp.where(samp_flags, res_s.accept_len, alens)
+                    path_nodes = jnp.where(samp_flags[:, None],
+                                           res_s.path_nodes, path_nodes)
+                    acc = jnp.where(samp_flags[:, None],
+                                    res_s.accepted_tokens, acc)
+                    bonus = jnp.where(samp_flags, res_s.next_token, bonus)
+
+                kv_k = compact_accepted_batched(kv_k, hist_lens,
+                                                path_nodes, M)
+                kv_v = compact_accepted_batched(kv_v, hist_lens,
+                                                path_nodes, M)
+                acc = jnp.maximum(acc, 0)                    # [B, Dp]
+                Dp = acc.shape[1]
+                is_eos = (acc == eos_id) & \
+                    (jnp.arange(Dp)[None] < alens[:, None])
+                any_eos = jnp.any(is_eos, axis=1)
+                alens = jnp.where(any_eos,
+                                  jnp.argmax(is_eos, axis=1).astype(
+                                      jnp.int32) + 1, alens)
+                alens = jnp.where(lives, alens, 0)
+                # extend each slot's stable net KV with the accepted
+                # (token, target-hidden) pairs (single-stream body parity)
+                path_hidden = jax.vmap(lambda h, pn: h[pn])(
+                    hidden, path_nodes)                      # [B, Dp, H]
+                prev_h = jnp.concatenate([
+                    last_hiddens[:, None].astype(path_hidden.dtype),
+                    path_hidden[:, :-1]], axis=1)
+                ekv_k, ekv_v = jax.vmap(
+                    extend1, in_axes=(None, 0, 0, 0, 0, 0))(
+                    net_params, ekv_k, ekv_v, embed[acc], prev_h,
+                    hist_lens - 1)
+                new_last = jax.vmap(
+                    lambda ph, al: ph[jnp.maximum(al - 1, 0)]
+                )(path_hidden, alens)
+                last_hiddens = jnp.where(
+                    lives[:, None], new_last.astype(last_hiddens.dtype),
+                    last_hiddens)
+                histories = jax.vmap(
+                    lambda h, a, o: jax.lax.dynamic_update_slice(h, a, (o,))
+                )(histories, acc, hist_lens)
+                hist_lens = hist_lens + alens
+                budgets = budgets - alens
+                starts = jnp.where(lives, bonus, starts)
+                slot_steps = slot_steps + lives.astype(jnp.int32)
+                sam_steps = sam_steps + (lives & use_sam).astype(jnp.int32)
+                lives = lives & ~any_eos & (budgets > 0) & \
+                    (hist_lens + M <= S) & (hist_lens + TREE_SLOTS <= S)
+                return (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                        hist_lens, starts, budgets, lives, steps + 1,
+                        slot_steps, sam_steps, keys)
+
+            init = (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                    hist_lens, starts, budgets, init_lives, jnp.int32(0),
+                    jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                    keys)
+            (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens, hist_lens,
+             starts, budgets, lives, steps, slot_steps, sam_steps, keys) = \
+                jax.lax.while_loop(cond, body, init)
+            key_rows = jax.lax.bitcast_convert_type(keys, jnp.int32).T
+            ctrl = jnp.concatenate([
+                jnp.stack([hist_lens, starts, budgets,
+                           lives.astype(jnp.int32), slot_steps, sam_steps]),
+                key_rows], axis=0)
+            return (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                    ctrl)
+
+        return fused

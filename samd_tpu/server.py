@@ -275,6 +275,32 @@ def build_server_engine(args):
                                  static_sam=static_sam),
             batch_size=args.batch_size, max_cache_len=args.max_cache_len,
             eos_token_id=eos)
+    if args.engine in ("fused_hybrid_batched", "paged_fused_hybrid"):
+        from .fused_hybrid import (BatchedFusedHybridEngine,
+                                   FusedHybridConfig,
+                                   PagedBatchedFusedHybridEngine)
+
+        # batch-tuned hybrid block (docs/PERFORMANCE.md sweep: B=12
+        # M=24 tree=23 is the peak config)
+        hy_cfg = FusedHybridConfig(steps_per_call=16, tree_nodes=23,
+                                   n_predicts=20, max_block=24)
+        ctor = (PagedBatchedFusedHybridEngine
+                if args.engine == "paged_fused_hybrid"
+                else BatchedFusedHybridEngine)
+        return ctor(cfg, params, hy_cfg, corpus=corpus,
+                    batch_size=args.batch_size,
+                    max_cache_len=args.max_cache_len, eos_token_id=eos)
+    if args.engine == "eagle2_hybrid_batched":
+        from .fused_hybrid import (BatchedFusedHybridEagleEngine,
+                                   FusedHybridEagleConfig)
+
+        hy_cfg = FusedHybridEagleConfig(
+            steps_per_call=16, eagle_depth=4, eagle_topk=4, eagle_total=23,
+            max_block=24, n_predicts=20)
+        return BatchedFusedHybridEagleEngine(
+            cfg, params, hy_cfg, corpus=corpus,
+            batch_size=args.batch_size,
+            max_cache_len=args.max_cache_len, eos_token_id=eos)
     from .fused_sam import (BatchedFusedSamEngine, FusedSamConfig,
                             PagedBatchedFusedSamEngine)
 
@@ -298,7 +324,8 @@ def main(argv=None):
                    help="with --random-model: tiny config (smoke tests)")
     p.add_argument("--engine", default="fused_sam_batched",
                    choices=["fused_sam_batched", "paged_fused_sam",
-                            "batched"])
+                            "fused_hybrid_batched", "paged_fused_hybrid",
+                            "eagle2_hybrid_batched", "batched"])
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--quantize", choices=["int8", "fp8"])
     p.add_argument("--max-cache-len", type=int, default=1024)

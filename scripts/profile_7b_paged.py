@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--n-pages", type=int, default=0,
                     help="0 = sized from B (4 pages/slot + slack)")
     ap.add_argument("--quant-kv", action="store_true")
+    ap.add_argument("--model", default="7b", choices=("1b", "7b"),
+                    help="1b reproduces the bench's paged-peak row shape")
     args = ap.parse_args()
 
     import jax
@@ -37,10 +39,10 @@ def main():
 
     from samd_tpu.config import GenerationConfig
     from samd_tpu.fused_sam import FusedSamConfig, PagedBatchedFusedSamEngine
-    from samd_tpu.models import llama_7b
+    from samd_tpu.models import llama_1b, llama_7b
     from samd_tpu.ops.quant import init_quantized_llama_params
 
-    cfg7 = llama_7b()
+    cfg7 = llama_7b() if args.model == "7b" else llama_1b()
     params7 = init_quantized_llama_params(cfg7, jax.random.PRNGKey(0))
     B, M = args.b, args.m
     n_pages = args.n_pages or (4 * B + 8)
@@ -83,7 +85,8 @@ def main():
         if best is None or tok / dt > best[0]:
             best = (tok / dt, tok, steps, dt)
     tps, tok, steps, dt = best
-    print(f"7B paged{' int8-KV' if args.quant_kv else ''} batched fused-sam "
+    print(f"{args.model} paged{' int8-KV' if args.quant_kv else ''} "
+          f"batched fused-sam "
           f"(B={B} M={M}, {n_pages} pages): {tok} tokens in {dt:.2f}s = "
           f"{tps:.1f} tok/s, accept {tok/max(steps,1):.2f}, "
           f"peak pages {eng.peak_pages}/{n_pages}", flush=True)

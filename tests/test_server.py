@@ -144,3 +144,18 @@ def test_sampling_signature_conflict_rejected(tiny_model):
         assert not isinstance(out, Exception)
     finally:
         sched.close()
+
+
+def test_build_server_engine_choices():
+    """Every --engine choice constructs (tiny random model)."""
+    import argparse
+
+    from samd_tpu.server import build_server_engine
+
+    for engine in ("fused_sam_batched", "fused_hybrid_batched",
+                   "eagle2_hybrid_batched", "batched"):
+        args = argparse.Namespace(
+            model=None, random_model=True, tiny=True, engine=engine,
+            batch_size=2, quantize=None, max_cache_len=256, sam=None)
+        eng = build_server_engine(args)
+        assert hasattr(eng, "add_request") and hasattr(eng, "run")
