@@ -1355,6 +1355,8 @@ def main():
             "trained_accept_sam_only_corpus":
                 demo["accept"]["sam_only_trained"],
             "trained_accept_eagle2": demo["accept"]["eagle2_trained"],
+            "trained_accept_eagle2_batched":
+                demo["accept"].get("eagle2_trained_batched"),
             "trained_accept_eagle2_random_net":
                 demo["accept"]["eagle2_random_net"],
             "trained_accept_sam_eagle2_hybrid":

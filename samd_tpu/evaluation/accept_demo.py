@@ -151,6 +151,28 @@ def run(steps: int = 400, vocab: int = 64, new_tokens: int = 48,
     log(f"SAM[eagle2] hybrid (trained): accept {rows['sam_eagle2_trained']}"
         f" sources {src}")
 
+    # the same trained net through the BATCHED SAM[EAGLE-2] engine
+    # (continuous batching; per-slot draft-net KV) — the serving config's
+    # accept must match the single-stream drafter stack's
+    from samd_tpu.fused_hybrid import (BatchedFusedHybridEagleEngine,
+                                       FusedHybridEagleConfig)
+
+    # same tree shape as the single-stream eagle2 rows (depth 5, topk 8,
+    # 63-node selection) so the accepts are apples-to-apples
+    beng = BatchedFusedHybridEagleEngine(
+        cfg, params,
+        FusedHybridEagleConfig(steps_per_call=8, len_threshold=1000),
+        net_params=net, batch_size=2, max_cache_len=256, eos_token_id=-1,
+        prefill_buckets=(32,))
+    for p in prompts:
+        beng.add_request(p, gen)
+    bres = beng.run()
+    tok = sum(r.decode_tokens for r in bres.values())
+    stp = sum(r.decode_steps for r in bres.values())
+    rows["eagle2_trained_batched"] = round(tok / max(stp, 1), 3)
+    log(f"eagle2 (trained net, BATCHED engine B=2): accept "
+        f"{rows['eagle2_trained_batched']}")
+
     return {
         "lm_loss": round(lm_tail[-1], 4),
         "eagle_loss": round(eg_tail[-1], 4),

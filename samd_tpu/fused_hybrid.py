@@ -1353,12 +1353,24 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                 emask)
             return ek2[0], ev2[0]
 
+        # paged variant: the TARGET KV rides the page pool; the draft net's
+        # KV stays dense per slot (1 layer × H — small)
+        paged = self._paged_cfg
+
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, histories,
                   last_hiddens, hist_lens, starts, budgets, actives, eos_id,
-                  keys, samp_flags, refill):
+                  keys, samp_flags, refill, tables=None, alloc_limits=None):
+            if paged is None:
+                alloc_limits = S
+                paged_aux = None
+            else:
+                from .paged_kv import PagedAux
+
+                paged_aux = PagedAux(tables, paged[1], paged[2])
             init_lives = actives & (budgets > 0) & \
-                (hist_lens + M <= S) & (hist_lens + TREE_SLOTS <= S)
+                (hist_lens + M <= alloc_limits) & \
+                (hist_lens + TREE_SLOTS <= S)
 
             def cond(st):
                 (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
@@ -1387,12 +1399,20 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                                    axis=1)                   # [B, 2, M]
                 toks, tree_mask, depths, paths = jax.vmap(
                     lambda d: unpack_draft(d, M))(packed)
-                masks = jax.vmap(
-                    lambda tm, hl: block_decode_mask(tm, hl, S)[0]
-                )(tree_mask, hist_lens)                      # [B, M, S]
+                if paged is None:
+                    masks = jax.vmap(
+                        lambda tm, hl: block_decode_mask(tm, hl, S)[0]
+                    )(tree_mask, hist_lens)                  # [B, M, S]
+                else:
+                    from .ops.paged_attention import boundary_mask_window
+
+                    masks = jax.vmap(
+                        lambda tm, hl: boundary_mask_window(tm, hl,
+                                                            paged[0])
+                    )(tree_mask, hist_lens)                  # [B,M,W·page]
                 logits, hidden, kv_k, kv_v = forward(
                     params, cfg, toks, depths + hist_lens[:, None],
-                    kv_k, kv_v, hist_lens, masks)
+                    kv_k, kv_v, hist_lens, masks, paged=paged_aux)
                 res = jax.vmap(greedy_accept)(logits, draft_tokens, paths)
                 alens = res.accept_len
                 path_nodes = res.path_nodes
@@ -1410,10 +1430,18 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                                     res_s.accepted_tokens, acc)
                     bonus = jnp.where(samp_flags, res_s.next_token, bonus)
 
-                kv_k = compact_accepted_batched(kv_k, hist_lens,
-                                                path_nodes, M)
-                kv_v = compact_accepted_batched(kv_v, hist_lens,
-                                                path_nodes, M)
+                if paged is None:
+                    kv_k = compact_accepted_batched(kv_k, hist_lens,
+                                                    path_nodes, M)
+                    kv_v = compact_accepted_batched(kv_v, hist_lens,
+                                                    path_nodes, M)
+                else:
+                    from .paged_kv import paged_compact_block
+
+                    kv_k = paged_compact_block(kv_k, tables, hist_lens,
+                                               path_nodes, M, paged[1])
+                    kv_v = paged_compact_block(kv_v, tables, hist_lens,
+                                               path_nodes, M, paged[1])
                 acc = jnp.maximum(acc, 0)                    # [B, Dp]
                 Dp = acc.shape[1]
                 is_eos = (acc == eos_id) & \
@@ -1449,7 +1477,8 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                 slot_steps = slot_steps + lives.astype(jnp.int32)
                 sam_steps = sam_steps + (lives & use_sam).astype(jnp.int32)
                 lives = lives & ~any_eos & (budgets > 0) & \
-                    (hist_lens + M <= S) & (hist_lens + TREE_SLOTS <= S)
+                    (hist_lens + M <= alloc_limits) & \
+                    (hist_lens + TREE_SLOTS <= S)
                 return (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
                         hist_lens, starts, budgets, lives, steps + 1,
                         slot_steps, sam_steps, keys)
@@ -1470,3 +1499,101 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                     ctrl)
 
         return fused
+
+
+class PagedBatchedFusedHybridEagleEngine(BatchedFusedHybridEagleEngine):
+    """BatchedFusedHybridEagleEngine (SAM[EAGLE-2] under continuous
+    batching) with the TARGET KV on the shared page pool.  The draft net's
+    KV stays dense per slot (one layer; ~H bytes/token — paging it would
+    buy nothing).  Page lifecycle, int8-page option and capacity semantics
+    are PagedBatchedFusedSamEngine's; tree drafts gather-compact the
+    accepted path directly on pages (paged_kv.paged_compact_block)."""
+
+    def __init__(self, *args, n_pages: int = 64, page_size: int = 128,
+                 quantized_kv: bool = False,
+                 interpret: Optional[bool] = None, **kwargs):
+        self._n_pages = n_pages
+        self._page_size = page_size
+        self._quantized_kv = quantized_kv
+        self._interpret = interpret
+        super().__init__(*args, **kwargs)
+
+    # page-pool hooks shared verbatim with the chain engine
+    from .fused_sam import PagedBatchedFusedSamEngine as _P
+    _init_kv = _P._init_kv
+    _tables = _P._tables
+    _fused_extra_args = _P._fused_extra_args
+    _release_slot = _P._release_slot
+    _should_retry_slot = _P._should_retry_slot
+    _post_segment = _P._post_segment
+    _can_admit = _P._can_admit
+    live_kv_tokens = _P.live_kv_tokens
+    del _P
+    _pre_segment = PagedBatchedFusedHybridEngine._pre_segment
+
+    # -- prefill: dense forward + page scatter + net prefill ---------------
+    def _build_scatter_prefill(self, P: int):
+        from .cache import init_kv_cache
+        from .drafters.eagle.net import eagle_forward, init_eagle_kv
+        from .paged_kv import paged_flat_indices, paged_write_block
+
+        cfg, ncfg, S = self.model_cfg, self.net_cfg, self.S
+        page, scratch, _ = self._paged_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
+        def prefill(params, net_params, kv_k, kv_v, ekv_k, ekv_v,
+                    histories, last_hiddens, tokens, true_len, slot, table):
+            fk, fv = init_kv_cache(cfg, 1, P)
+            logits, hidden, fk, fv = forward(
+                params, cfg, tokens[None], jnp.arange(P)[None, :], fk, fv,
+                jnp.int32(0), prefill_mask(1, P, P))
+            flat_pg, flat_sl = paged_flat_indices(
+                table[None], jnp.zeros((1,), jnp.int32), P, page, scratch)
+            kv_k = jax.vmap(
+                lambda c, b: paged_write_block(c, b, flat_pg, flat_sl)
+            )(kv_k, fk)
+            kv_v = jax.vmap(
+                lambda c, b: paged_write_block(c, b, flat_pg, flat_sl)
+            )(kv_v, fv)
+            ek, ev = init_eagle_kv(ncfg, 1, S)
+            s = jnp.arange(S)[None, :]
+            mask = (s <= jnp.arange(P)[:, None])[None]
+            _, ek, ev = eagle_forward(
+                net_params, ncfg, params["embed"][tokens[1:]][None],
+                hidden[0][:-1][None], jnp.arange(P - 1)[None, :],
+                ek, ev, jnp.int32(0), mask[:, :P - 1])
+            ekv_k = jax.lax.dynamic_update_slice(ekv_k, ek, (slot, 0, 0, 0))
+            ekv_v = jax.lax.dynamic_update_slice(ekv_v, ev, (slot, 0, 0, 0))
+            row = jnp.zeros((1, S), jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, tokens[None], (0, 0))
+            histories = jax.lax.dynamic_update_slice(histories, row,
+                                                     (slot, 0))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            last_hidden = jax.lax.dynamic_index_in_dim(
+                hidden[0], true_len - 1, axis=0, keepdims=False)
+            last_hiddens = jax.lax.dynamic_update_slice(
+                last_hiddens, last_hidden[None].astype(last_hiddens.dtype),
+                (slot, 0))
+            return (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
+                    jnp.argmax(last).astype(jnp.int32), last)
+
+        return prefill
+
+    def _prefill_slot(self, slot: int, ids):
+        P = _bucket(len(ids), self.prefill_buckets)
+        if P not in self._scatter_prefill_fns:
+            self._scatter_prefill_fns[P] = self._build_scatter_prefill(P)
+        padded = np.zeros(P, np.int32)
+        padded[:len(ids)] = ids
+        req = self.page_reqs[slot]
+        req.release()
+        req.ensure(min(-(-P // self._page_size) * self._page_size, self.S))
+        req.length = len(ids)
+        (self.kv_k, self.kv_v, self.ekv_k, self.ekv_v, self.histories,
+         self.last_hiddens, nt, last_logits) = self._scatter_prefill_fns[P](
+            self.params, self.net_params, self.kv_k, self.kv_v,
+            self.ekv_k, self.ekv_v, self.histories, self.last_hiddens,
+            jnp.asarray(padded), jnp.int32(len(ids)), jnp.int32(slot),
+            jnp.asarray(self.page_reqs[slot].host_table()))
+        return nt, last_logits

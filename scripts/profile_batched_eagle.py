@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--block", type=int, default=24)
     ap.add_argument("--n-predicts", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--paged", action="store_true",
+                    help="target KV on the page pool (int8 pages with "
+                         "--quant-kv)")
+    ap.add_argument("--quant-kv", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +46,7 @@ def main():
     from samd_tpu.fused_hybrid import (
         BatchedFusedHybridEagleEngine,
         FusedHybridEagleConfig,
+        PagedBatchedFusedHybridEagleEngine,
     )
     from samd_tpu.models import init_params, llama_1b
 
@@ -71,6 +76,12 @@ def main():
         n_predicts=args.n_predicts)
 
     def mk(corpus=None):
+        if args.paged:
+            return PagedBatchedFusedHybridEagleEngine(
+                cfg, params, hy, net_params=net, corpus=corpus,
+                batch_size=B, max_cache_len=MAX_CACHE, eos_token_id=-1,
+                prefill_buckets=(128,), n_pages=4 * B + 8, page_size=128,
+                quantized_kv=args.quant_kv, interpret=False)
         return BatchedFusedHybridEagleEngine(
             cfg, params, hy, net_params=net, corpus=corpus, batch_size=B,
             max_cache_len=MAX_CACHE, eos_token_id=-1, prefill_buckets=(128,))
@@ -99,10 +110,15 @@ def main():
         if best is None or tok / dt > best[0]:
             best = (tok / dt, tok, steps, dt)
     tps, tok, steps, dt = best
-    print(f"batched SAM[EAGLE-2]{' int8' if args.int8 else ''} "
+    pages = (f", peak pages {eng.peak_pages}/{4 * B + 8}"
+             if args.paged else "")
+    print(f"{'paged ' if args.paged else ''}batched SAM[EAGLE-2]"
+          f"{' int8' if args.int8 else ''}"
+          f"{' int8-KV' if args.quant_kv else ''} "
           f"(B={B} block={args.block} tree={args.total}): {tok} tokens in "
           f"{dt:.2f}s = {tps:.1f} tok/s, accept {tok/max(steps,1):.2f}, "
-          f"sam_steps {eng.sam_steps_total}/{eng.steps_total}", flush=True)
+          f"sam_steps {eng.sam_steps_total}/{eng.steps_total}{pages}",
+          flush=True)
 
 
 if __name__ == "__main__":

