@@ -44,19 +44,25 @@ from .ops.treeops import unpack_draft
 from .verify import greedy_accept
 
 
-def make_eagle_expand(*, net_cfg, embed, head, S: int, depth: int,
+def make_eagle_expand(*, net_cfg, S: int, depth: int,
                       topk: int, total: int, M: int):
-    """Build the EAGLE-2 beam expansion: (net_params, ekv_k, ekv_v,
-    stable_len, last_hidden, start_token) -> (packed [2, M] draft, ekv_k,
-    ekv_v).  Tree scratch KV is written at [stable_len, stable_len +
-    TREE_SLOTS); selection is ancestor-closed by score monotonicity."""
+    """Build the EAGLE-2 beam expansion: (net_params, embed, head, ekv_k,
+    ekv_v, stable_len, last_hidden, start_token) -> (packed [2, M] draft,
+    ekv_k, ekv_v).  Tree scratch KV is written at [stable_len, stable_len +
+    TREE_SLOTS); selection is ancestor-closed by score monotonicity.
+
+    ``embed``/``head`` are ARGUMENTS, not closure captures: a captured
+    weight array is baked into the serialized HLO as a constant, and at 7B
+    the embed+lm_head literals push the module past the remote-compile
+    tunnel's request-size limit (HTTP 413, measured) — pass the traced
+    ``params`` pieces instead."""
     K = topk
     ncfg = net_cfg
     TREE_SLOTS = 1 + depth * K
     POOL = 1 + K + (depth - 1) * K * K
     NEG = jnp.float32(-1e30)
 
-    def head_logp(h):
+    def head_logp(h, head):
         # head may be a QuantizedTensor (weight-only int8/fp8 serving)
         from .ops.quant import QuantizedTensor
         if isinstance(head, QuantizedTensor):
@@ -66,15 +72,15 @@ def make_eagle_expand(*, net_cfg, embed, head, S: int, depth: int,
         logits = jnp.dot(h, hd, preferred_element_type=jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1)
 
-    def expand(net_params, ekv_k, ekv_v, stable_len, last_hidden,
-               start_token):
+    def expand(net_params, embed, head, ekv_k, ekv_v, stable_len,
+               last_hidden, start_token):
         s_idx = jnp.arange(S)[None, :]
         mask0 = (s_idx <= stable_len)[None]
         h0, ekv_k, ekv_v = eagle_forward(
             net_params, ncfg, embed[start_token][None, None],
             last_hidden[None, None], stable_len[None, None],
             ekv_k, ekv_v, stable_len, mask0)
-        lp0 = head_logp(h0[0, 0])
+        lp0 = head_logp(h0[0, 0], head)
         val1, tok1 = jax.lax.top_k(lp0, K)
 
         pool_tokens = jnp.zeros((POOL,), jnp.int32).at[0].set(start_token)
@@ -108,7 +114,7 @@ def make_eagle_expand(*, net_cfg, embed, head, S: int, depth: int,
                 beam_hidden[None], pos, ekv_k, ekv_v,
                 stable_len + 1 + (lvl - 1) * K, mask)
             h = h[0]
-            lp = head_logp(h)
+            lp = head_logp(h, head)
             v, t = jax.lax.top_k(lp, K)
             cand_scores = (beam_scores[:, None] + v).reshape(-1)
             cand_tokens = t.reshape(-1)
@@ -218,8 +224,7 @@ class FusedEagle2Engine:
         TREE_SLOTS = 1 + depth * K
         POOL = 1 + K + (depth - 1) * K * K
         NEG = jnp.float32(-1e30)
-        embed = self.params["embed"]
-        head = self._head()
+        tie = self.model_cfg.tie_embeddings
         D_PATH = M  # accepted-path pad (max depth of verify paths)
         sampling = sig is not None
         if sampling:
@@ -228,8 +233,7 @@ class FusedEagle2Engine:
             accept_fn = make_accept_fn(sig)
 
         expand, _ = make_eagle_expand(
-            net_cfg=ncfg, embed=embed, head=head, S=S, depth=depth,
-            topk=K, total=total, M=M)
+            net_cfg=ncfg, S=S, depth=depth, topk=K, total=total, M=M)
 
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, history,
@@ -241,12 +245,17 @@ class FusedEagle2Engine:
                         & (hist_len + M <= S)
                         & (hist_len + TREE_SLOTS <= S))
 
+            # embed/head from the TRACED params (closure-captured weights
+            # become HLO constants — 7B blows the remote-compile size cap)
+            embed = params["embed"]
+            head = embed.T if tie else params["lm_head"]
+
             def body(st):
                 (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start,
                  last_hidden, budget, done, steps, key) = st
                 packed, ekv_k, ekv_v = expand(
-                    net_params, ekv_k, ekv_v, hist_len - 1, last_hidden,
-                    start)
+                    net_params, embed, head, ekv_k, ekv_v, hist_len - 1,
+                    last_hidden, start)
                 # NOTE: draft positions are relative to the *draft-net* KV,
                 # whose stable length is hist_len - 1 (pairs lag by one).
                 toks, tree_mask, depths, paths = unpack_draft(packed, M)

@@ -1024,8 +1024,7 @@ class FusedHybridEagleEngine:
         hc = self.cfg
         M = hc.max_block
         expand, TREE_SLOTS = make_eagle_expand(
-            net_cfg=ncfg, embed=self.params["embed"], head=self._head(),
-            S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
+            net_cfg=ncfg, S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
             total=hc.eagle_total, M=M)
         retrieve = make_retrieval_draft(
             S=S, corpus=self.corpus, corpus_len=self.corpus_len,
@@ -1034,11 +1033,16 @@ class FusedHybridEagleEngine:
         chain_parents = jnp.concatenate([
             jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
             jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
-        embed = self.params["embed"]
+        tie = self.model_cfg.tie_embeddings
 
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, history,
                   hist_len, start_token, last_hidden, budget, eos_id):
+            # embed/head from the TRACED params: closure-captured weights
+            # become HLO constants (7B exceeds the remote-compile size cap)
+            embed = params["embed"]
+            head = embed.T if tie else params["lm_head"]
+
             def cond(st):
                 (kv_k, kv_v, ekv_k, ekv_v, history, hist_len, start,
                  last_hidden, budget, done, steps, sam_steps) = st
@@ -1061,8 +1065,8 @@ class FusedHybridEagleEngine:
                 # EAGLE tree (always expanded; draft-net KV scratch lives
                 # after the stable prefix at hist_len - 1)
                 eagle_packed, ekv_k, ekv_v = expand(
-                    net_params, ekv_k, ekv_v, hist_len - 1, last_hidden,
-                    start)
+                    net_params, embed, head, ekv_k, ekv_v, hist_len - 1,
+                    last_hidden, start)
                 draft_tokens = jnp.where(use_sam, chain_tokens,
                                          eagle_packed[0])
                 parents = jnp.where(use_sam, chain_parents, eagle_packed[1])
@@ -1314,8 +1318,7 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         hc = self.cfg
         M = hc.max_block
         expand, TREE_SLOTS = make_eagle_expand(
-            net_cfg=ncfg, embed=self.params["embed"], head=self._head(),
-            S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
+            net_cfg=ncfg, S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
             total=hc.eagle_total, M=M)
         retrieve = make_retrieval_draft(
             S=S, corpus=self.corpus, corpus_len=self.corpus_len,
@@ -1324,7 +1327,7 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         chain_parents = jnp.concatenate([
             jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
             jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
-        embed = self.params["embed"]
+        tie = self.model_cfg.tie_embeddings
 
         def retrieval_draft(history, hist_len, start):
             match, _, raw, cont_avail = retrieve(history, hist_len, start)
@@ -1335,11 +1338,13 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
             tokens = jnp.where(jnp.arange(M) < hc.n_predicts, tokens, -1)
             return match, tokens
 
-        def expand1(net_params, ek, ev, stable_len, last_hidden, start):
+        def expand1(net_params, embed, head, ek, ev, stable_len,
+                    last_hidden, start):
             # vmap strips the slot axis; the single-stream expansion wants
             # a leading batch dim of 1 on the net KV
-            packed, ek2, ev2 = expand(net_params, ek[None], ev[None],
-                                      stable_len, last_hidden, start)
+            packed, ek2, ev2 = expand(net_params, embed, head, ek[None],
+                                      ev[None], stable_len, last_hidden,
+                                      start)
             return packed, ek2[0], ev2[0]
 
         def extend1(net_params, ek, ev, acc_emb, prev_h, offs):
@@ -1368,6 +1373,8 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                 from .paged_kv import PagedAux
 
                 paged_aux = PagedAux(tables, paged[1], paged[2])
+            embed = params["embed"]
+            head = embed.T if tie else params["lm_head"]
             init_lives = actives & (budgets > 0) & \
                 (hist_lens + M <= alloc_limits) & \
                 (hist_lens + TREE_SLOTS <= S)
@@ -1388,9 +1395,9 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                     histories, hist_lens, starts)            # [B], [B, M]
                 use_sam = matches >= hc.len_threshold        # [B]
                 eagle_packed, ekv_k, ekv_v = jax.vmap(
-                    expand1, in_axes=(None, 0, 0, 0, 0, 0))(
-                    net_params, ekv_k, ekv_v, hist_lens - 1, last_hiddens,
-                    starts)                                  # [B, 2, M]
+                    expand1, in_axes=(None, None, None, 0, 0, 0, 0, 0))(
+                    net_params, embed, head, ekv_k, ekv_v, hist_lens - 1,
+                    last_hiddens, starts)                    # [B, 2, M]
                 draft_tokens = jnp.where(use_sam[:, None], chain_tokens,
                                          eagle_packed[:, 0])
                 parents = jnp.where(use_sam[:, None], chain_parents[None],

@@ -456,7 +456,9 @@ class BatchedFusedSamEngine:
                  corpus: Optional[Sequence[int]] = None,
                  batch_size: int = 4, max_cache_len: int = 2048,
                  eos_token_id: int = 2,
-                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024,
+                                                   2048),
+                 inline_prefill: bool = False):
         self.model_cfg = model_cfg
         self.params = params
         # short segments by default: steps_per_call is the admission
@@ -467,6 +469,14 @@ class BatchedFusedSamEngine:
         self.eos_token_id = eos_token_id
         self.prefill_buckets = tuple(b for b in prefill_buckets
                                      if b <= max_cache_len)
+        # inline prefill: greedy requests skip the dedicated prefill
+        # program — the prompt streams through the fused decode loop as a
+        # forced-accept chain, M tokens per step (zero blocking fetch at
+        # admission, no per-bucket prefill compiles).  Dense engines only
+        # (the paged subclass sets _n_pages before this runs).
+        if inline_prefill and getattr(self, "_n_pages", None) is not None:
+            raise ValueError("inline_prefill is dense-only for now")
+        self.inline_prefill = inline_prefill
         self._init_kv()
         from .fused_base import build_optional_index, load_corpus_buffer
 
@@ -574,6 +584,7 @@ class BatchedFusedSamEngine:
         corpus = self.corpus
         corpus_len = self.corpus_len
         paged = self._paged_cfg
+        inline = getattr(self, "inline_prefill", False)
 
         retrieve = make_retrieval_draft(
             S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
@@ -610,7 +621,7 @@ class BatchedFusedSamEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, histories, hist_lens, starts, budgets,
-                  actives, eos_id, keys, samp_flags, refill,
+                  actives, eos_id, keys, samp_flags, refill, prompt_lens,
                   tables=None, alloc_limits=None):
             if paged is None:
                 alloc_limits = S
@@ -637,6 +648,20 @@ class BatchedFusedSamEngine:
                  steps, slot_steps, keys) = st
                 drafts, dlens = jax.vmap(make_draft)(histories, hist_lens,
                                                      starts)       # [B,M],[B]
+                if inline:
+                    # inline prefill: a slot whose committed length is
+                    # still inside its prompt drafts the NEXT M prompt
+                    # tokens as a forced-accept chain — the prompt streams
+                    # through the decode program (zero admission stall, no
+                    # prefill program at all)
+                    pf_rest = prompt_lens - hist_lens              # [B]
+                    in_pf = pf_rest > 0
+                    forced = jnp.minimum(pf_rest, M).astype(jnp.int32)
+                    chunks = jax.vmap(
+                        lambda h, o: jax.lax.dynamic_slice(h, (o,), (M,))
+                    )(histories, hist_lens)
+                    drafts = jnp.where(in_pf[:, None], chunks, drafts)
+                    dlens = jnp.where(in_pf, forced, dlens)
                 masks = jax.vmap(slot_window if paged else slot_mask)(
                     hist_lens, dlens)            # [B,M,S] / [B,M,W·page]
                 pos = chain_pos[None, :] + hist_lens[:, None]
@@ -657,8 +682,25 @@ class BatchedFusedSamEngine:
                         logits, drafts, dlens, subs)
                     alens = jnp.where(samp_flags, alens_s, alens)
                     bonus = jnp.where(samp_flags, bonus_s, bonus)
+                if inline:
+                    # force-accept prompt rows; the boundary block's bonus
+                    # (argmax at the last prompt row) is the first
+                    # generated token, mid-prefill the next start is the
+                    # next prompt token; EOS/budget don't apply to prompt
+                    alens = jnp.where(in_pf, forced, alens)
+                    bonus = jnp.where(
+                        in_pf,
+                        argmax_tok[jnp.arange(B),
+                                   jnp.maximum(forced - 1, 0)], bonus)
+                    nxt_prompt = jax.vmap(lambda h, o: h[o])(
+                        histories, jnp.minimum(hist_lens + M,
+                                               jnp.int32(S - 1)))
+                    bonus = jnp.where(in_pf & (pf_rest > M), nxt_prompt,
+                                      bonus)
                 is_eos = (drafts == eos_id) & \
                     (chain_pos[None, :] < alens[:, None])
+                if inline:
+                    is_eos = is_eos & ~in_pf[:, None]
                 any_eos = jnp.any(is_eos, axis=1)
                 alens = jnp.where(any_eos,
                                   jnp.argmax(is_eos, axis=1).astype(jnp.int32)
@@ -672,9 +714,14 @@ class BatchedFusedSamEngine:
                     lambda h, a, o: jax.lax.dynamic_update_slice(h, a, (o,))
                 )(histories, jnp.maximum(drafts, 0), hist_lens)
                 hist_lens = hist_lens + alens
-                budgets = budgets - alens
+                if inline:   # prompt tokens consume no generation budget
+                    budgets = budgets - jnp.where(in_pf, 0, alens)
+                    slot_steps = slot_steps + jnp.where(
+                        in_pf, 0, lives.astype(jnp.int32))
+                else:
+                    budgets = budgets - alens
+                    slot_steps = slot_steps + lives.astype(jnp.int32)
                 starts = jnp.where(lives, bonus, starts)
-                slot_steps = slot_steps + lives.astype(jnp.int32)
                 lives = lives & ~any_eos & (budgets > 0) & \
                     (hist_lens + M <= alloc_limits)
                 return (kv_k, kv_v, histories, hist_lens, starts, budgets,
@@ -705,6 +752,21 @@ class BatchedFusedSamEngine:
                            gen_config or GenerationConfig()))
         return rid
 
+    def _seed_history(self, slot: int, ids) -> None:
+        """Inline-prefill admission: upload the prompt row; no forward, no
+        blocking fetch — the fused loop streams the prompt in."""
+        if not hasattr(self, "_seed_fn"):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def seed(histories, row, slot):
+                return jax.lax.dynamic_update_slice(histories, row[None],
+                                                    (slot, 0))
+
+            self._seed_fn = seed
+        row = np.zeros(self.S, np.int32)
+        row[:len(ids)] = ids
+        self.histories = self._seed_fn(self.histories, jnp.asarray(row),
+                                       jnp.int32(slot))
+
     def run(self):
         B = self.B
         hist_lens = np.zeros(B, np.int32)
@@ -713,6 +775,7 @@ class BatchedFusedSamEngine:
         actives = np.zeros(B, bool)
         samp_flags = np.zeros(B, bool)
         keys = np.zeros((B, 2), np.uint32)
+        prompt_lens = np.zeros(B, np.int32)
         slot_sigs = [None] * B
 
         while self.queue or actives.any():
@@ -723,24 +786,33 @@ class BatchedFusedSamEngine:
                 if not self._can_admit(self.queue[0][1]):
                     break  # paged: no pages for a prompt yet; retry later
                 rid, ids, gen = self.queue.pop(0)
-                nt, last_logits = self._prefill_slot(i, ids)
-                if not gen.greedy:
-                    slot_sigs[i] = gen.sampling_signature
-                    samp_flags[i] = True
-                    k = jax.random.PRNGKey(gen.seed)
-                    if gen.temperature > 0:
-                        k, sub = jax.random.split(k)
-                        nt = jax.random.categorical(
-                            sub, last_logits / gen.temperature)
-                    keys[i] = np.asarray(k)
-                else:
+                if self.inline_prefill and gen.greedy:
+                    self._seed_history(i, ids)
+                    nt = ids[0]          # host-known; zero fetches
+                    hist_lens[i] = 0
+                    prompt_lens[i] = len(ids)
                     slot_sigs[i] = None
                     samp_flags[i] = False
+                else:
+                    nt, last_logits = self._prefill_slot(i, ids)
+                    hist_lens[i] = len(ids)
+                    prompt_lens[i] = 0
+                    if not gen.greedy:
+                        slot_sigs[i] = gen.sampling_signature
+                        samp_flags[i] = True
+                        k = jax.random.PRNGKey(gen.seed)
+                        if gen.temperature > 0:
+                            k, sub = jax.random.split(k)
+                            nt = jax.random.categorical(
+                                sub, last_logits / gen.temperature)
+                        keys[i] = np.asarray(k)
+                    else:
+                        slot_sigs[i] = None
+                        samp_flags[i] = False
                 self._slot_req[i] = rid
                 self._slot_prompt[i] = len(ids)
                 self._slot_max_new[i] = gen.max_new_tokens
                 self._slot_steps[i] = 0
-                hist_lens[i] = len(ids)
                 starts[i] = int(nt)
                 budgets[i] = gen.max_new_tokens
                 actives[i] = True
@@ -766,7 +838,7 @@ class BatchedFusedSamEngine:
                 jnp.asarray(budgets), jnp.asarray(actives),
                 jnp.int32(self.eos_token_id), jnp.asarray(keys),
                 jnp.asarray(samp_flags), jnp.bool_(bool(self.queue)),
-                *self._fused_extra_args())
+                jnp.asarray(prompt_lens), *self._fused_extra_args())
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
             starts = ctrl_np[1].copy()

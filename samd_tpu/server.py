@@ -307,11 +307,15 @@ def build_server_engine(args):
     # serving block: the batch-tuned M=16 (docs/PERFORMANCE.md "Block size
     # is a batch-dependent knob"); steps_per_call=16 sets admission latency
     fs_cfg = FusedSamConfig(steps_per_call=16, n_predicts=15)
-    ctor = (PagedBatchedFusedSamEngine if args.engine == "paged_fused_sam"
-            else BatchedFusedSamEngine)
-    return ctor(cfg, params, fs_cfg, corpus=corpus,
-                batch_size=args.batch_size,
-                max_cache_len=args.max_cache_len, eos_token_id=eos)
+    if args.engine == "paged_fused_sam":
+        return PagedBatchedFusedSamEngine(
+            cfg, params, fs_cfg, corpus=corpus,
+            batch_size=args.batch_size,
+            max_cache_len=args.max_cache_len, eos_token_id=eos)
+    return BatchedFusedSamEngine(
+        cfg, params, fs_cfg, corpus=corpus, batch_size=args.batch_size,
+        max_cache_len=args.max_cache_len, eos_token_id=eos,
+        inline_prefill=getattr(args, "inline_prefill", False))
 
 
 def main(argv=None):
@@ -330,6 +334,10 @@ def main(argv=None):
     p.add_argument("--quantize", choices=["int8", "fp8"])
     p.add_argument("--max-cache-len", type=int, default=1024)
     p.add_argument("--sam", help="static corpus SAM .npz")
+    p.add_argument("--inline-prefill", action="store_true",
+                   help="prompts stream through the decode loop as "
+                        "forced-accept chains (zero admission stall; "
+                        "fused_sam_batched only)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8089)
     p.add_argument("--cpu", action="store_true")

@@ -35,6 +35,8 @@ def main():
                     help="target KV on the page pool (int8 pages with "
                          "--quant-kv)")
     ap.add_argument("--quant-kv", action="store_true")
+    ap.add_argument("--model", default="1b", choices=("1b", "7b"),
+                    help="7b requires --int8 (bf16 weights exceed HBM)")
     args = ap.parse_args()
 
     import jax
@@ -48,20 +50,22 @@ def main():
         FusedHybridEagleConfig,
         PagedBatchedFusedHybridEagleEngine,
     )
-    from samd_tpu.models import init_params, llama_1b
+    from samd_tpu.models import init_params, llama_1b, llama_7b
 
-    cfg = llama_1b()
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    cfg = llama_7b() if args.model == "7b" else llama_1b()
     net = None
     if args.int8:
         from samd_tpu.drafters.eagle.net import (EagleNetConfig,
                                                  init_eagle_params)
-        from samd_tpu.ops.quant import (quantize_eagle_params,
-                                        quantize_llama_params)
+        from samd_tpu.ops.quant import (init_quantized_llama_params,
+                                        quantize_eagle_params)
 
-        params = quantize_llama_params(params)
+        # init directly in int8 (a 7B bf16 init would not fit the chip)
+        params = init_quantized_llama_params(cfg, jax.random.PRNGKey(0))
         net = quantize_eagle_params(init_eagle_params(
             EagleNetConfig.from_target(cfg), jax.random.PRNGKey(7)))
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0))
 
     B = args.b
     MAX_CACHE, NEW = 1024, 128
@@ -112,7 +116,7 @@ def main():
     tps, tok, steps, dt = best
     pages = (f", peak pages {eng.peak_pages}/{4 * B + 8}"
              if args.paged else "")
-    print(f"{'paged ' if args.paged else ''}batched SAM[EAGLE-2]"
+    print(f"{args.model} {'paged ' if args.paged else ''}batched SAM[EAGLE-2]"
           f"{' int8' if args.int8 else ''}"
           f"{' int8-KV' if args.quant_kv else ''} "
           f"(B={B} block={args.block} tree={args.total}): {tok} tokens in "
