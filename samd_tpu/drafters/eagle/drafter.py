@@ -157,17 +157,19 @@ class Eagle2Drafter:
         POOL = 1 + K + (depth - 1) * K * K   # root + lvl-1 beam + candidates
         NEG = jnp.float32(-1e30)
 
-        def head_logp(h):
-            # head may be a QuantizedTensor (weight-only int8/fp8 serving)
+        def head_logp(h, head):
+            # head may be a QuantizedTensor (weight-only int8/fp8 serving).
+            # It is a traced ARG, not self.head: a closure-captured weight
+            # bakes into the HLO as a constant (7B exceeds the remote-
+            # compile size cap — see eagle_fused.make_eagle_expand).
             from ...ops.quant import QuantizedTensor
-            head = self.head
             if isinstance(head, QuantizedTensor):
                 head = head.q.astype(h.dtype) * head.scale.astype(h.dtype)
             logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
             return jax.nn.log_softmax(logits, axis=-1)
 
         @jax.jit
-        def expand(params, embed, kv_k, kv_v, stable_len, last_hidden,
+        def expand(params, embed, head, kv_k, kv_v, stable_len, last_hidden,
                    start_token):
             # ---- root (tree slot 0, cache slot stable_len) ----
             s_idx = jnp.arange(S)[None, :]
@@ -176,7 +178,7 @@ class Eagle2Drafter:
                 params, cfg, embed[start_token][None, None],
                 last_hidden[None, None], stable_len[None, None],
                 kv_k, kv_v, stable_len, mask0)
-            lp0 = head_logp(h0[0, 0])                              # [V]
+            lp0 = head_logp(h0[0, 0], head)                              # [V]
             val1, tok1 = jax.lax.top_k(lp0, K)                     # level-1 beam
 
             pool_tokens = jnp.zeros((POOL,), jnp.int32).at[0].set(start_token)
@@ -220,7 +222,7 @@ class Eagle2Drafter:
                     params, cfg, embed[beam_tokens][None], beam_hidden[None],
                     pos, kv_k, kv_v, stable_len + 1 + (lvl - 1) * K, mask)
                 h = h[0]                                           # [K, H]
-                lp = head_logp(h)                                  # [K, V]
+                lp = head_logp(h, head)                                  # [K, V]
                 v, t = jax.lax.top_k(lp, K)                        # [K, K]
                 cand_scores = (beam_scores[:, None] + v).reshape(-1)
                 cand_tokens = t.reshape(-1)
@@ -274,7 +276,7 @@ class Eagle2Drafter:
 
     def lookup(self, start_token: int) -> Draft:
         packed, self.kv_k, self.kv_v = self._expand_fn(
-            self.params, self.embed, self.kv_k, self.kv_v,
+            self.params, self.embed, self.head, self.kv_k, self.kv_v,
             jnp.int32(self.stable_len), self.last_hidden,
             jnp.int32(start_token))
         return Draft(packed=packed, num_nodes=self.total + 1, source="eagle2")

@@ -472,10 +472,8 @@ class BatchedFusedSamEngine:
         # inline prefill: greedy requests skip the dedicated prefill
         # program — the prompt streams through the fused decode loop as a
         # forced-accept chain, M tokens per step (zero blocking fetch at
-        # admission, no per-bucket prefill compiles).  Dense engines only
-        # (the paged subclass sets _n_pages before this runs).
-        if inline_prefill and getattr(self, "_n_pages", None) is not None:
-            raise ValueError("inline_prefill is dense-only for now")
+        # admission, no per-bucket prefill compiles).  Paged engines grow
+        # their pages through the ordinary per-segment pre-allocation.
         self.inline_prefill = inline_prefill
         self._init_kv()
         from .fused_base import build_optional_index, load_corpus_buffer
@@ -541,6 +539,10 @@ class BatchedFusedSamEngine:
         """Whether the next queued prompt can be admitted now (paged: the
         pool must have pages for its prefill bucket)."""
         return True
+
+    def _admit_inline(self, slot: int) -> None:
+        """Inline-prefill admission bookkeeping (paged: free the slot's
+        previous occupant's pages; growth happens per segment)."""
 
     def _build_prefill(self, P: int):
         cfg, S = self.model_cfg, self.S
@@ -787,6 +789,7 @@ class BatchedFusedSamEngine:
                     break  # paged: no pages for a prompt yet; retry later
                 rid, ids, gen = self.queue.pop(0)
                 if self.inline_prefill and gen.greedy:
+                    self._admit_inline(i)
                     self._seed_history(i, ids)
                     nt = ids[0]          # host-known; zero fetches
                     hist_lens[i] = 0
@@ -1005,6 +1008,9 @@ class PagedBatchedFusedSamEngine(BatchedFusedSamEngine):
     def live_kv_tokens(self) -> int:
         """Currently allocated pool tokens (the bench's footprint metric)."""
         return sum(len(r.pages) for r in self.page_reqs) * self._page_size
+
+    def _admit_inline(self, slot: int) -> None:
+        self.page_reqs[slot].release()
 
     # -- prefill: dense single-request forward, scattered into pages --------
     def _build_scatter_prefill(self, P: int):

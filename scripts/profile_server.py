@@ -30,8 +30,8 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--engine", default="paged", choices=("paged", "dense"))
     ap.add_argument("--inline-prefill", action="store_true",
-                    help="dense only: prompts stream through the decode "
-                         "loop (zero admission stall)")
+                    help="prompts stream through the decode loop "
+                         "(zero admission stall)")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +65,7 @@ def main():
         eng = PagedBatchedFusedSamEngine(
             cfg, params, fs_cfg, batch_size=B, max_cache_len=MAX_CACHE,
             eos_token_id=-1, prefill_buckets=(128,), n_pages=4 * B + 8,
-            page_size=128)
+            page_size=128, inline_prefill=args.inline_prefill)
     else:
         eng = BatchedFusedSamEngine(
             cfg, params, fs_cfg, batch_size=B, max_cache_len=MAX_CACHE,

@@ -120,3 +120,29 @@ def test_inline_prefill_sampling_falls_back(tiny_model):
         return eng.run()[rid].output_ids
 
     assert run(True) == run(False)
+
+
+def test_inline_prefill_paged_matches_dense(tiny_model):
+    """Paged engine with inline prefill: pages grow through the ordinary
+    per-segment pre-allocation (no scatter-prefill program); outputs equal
+    the dense one-shot engine's, all pages returned."""
+    from samd_tpu.fused_sam import PagedBatchedFusedSamEngine
+
+    cfg, params = tiny_model
+    prompts = _prompts(5, seed=23)
+
+    oneshot = BatchedFusedSamEngine(cfg, params, FSCFG, batch_size=2,
+                                    max_cache_len=256, eos_token_id=-1,
+                                    prefill_buckets=(64,))
+    ids_a = [oneshot.add_request(p, GEN) for p in prompts]
+    expected = oneshot.run()
+
+    paged = PagedBatchedFusedSamEngine(
+        cfg, params, FSCFG, batch_size=2, max_cache_len=256,
+        eos_token_id=-1, prefill_buckets=(64,), n_pages=32, page_size=16,
+        inline_prefill=True)
+    ids_p = [paged.add_request(p, GEN) for p in prompts]
+    results = paged.run()
+    for ra, rp in zip(ids_a, ids_p):
+        assert results[rp].output_ids == expected[ra].output_ids
+    assert len(paged.pool._free) == 32
