@@ -386,9 +386,18 @@ class BatchedFusedHybridEngine:
                  corpus: Optional[Sequence[int]] = None,
                  batch_size: int = 4, max_cache_len: int = 2048,
                  eos_token_id: int = 2,
-                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)):
+                 prefill_buckets: Sequence[int] = (128, 256, 512, 1024,
+                                                   2048),
+                 inline_prefill: bool = False):
         self.model_cfg = model_cfg
         self.params = params
+        # inline prefill: greedy prompts stream through the fused loop as
+        # forced-accept chains (see BatchedFusedSamEngine); the per-block
+        # harvest then covers the prompt rows exactly as one-shot prefill
+        # does.  The EAGLE subclass keeps one-shot prefill (its net-KV
+        # pairs are offset by one position; an inline first block would
+        # land misaligned).
+        self.inline_prefill = inline_prefill
         # short segments: admission granularity for continuous batching
         self.cfg = hy_cfg or FusedHybridConfig(steps_per_call=16)
         assert self.cfg.max_block >= max(self.cfg.n_predicts,
@@ -544,6 +553,7 @@ class BatchedFusedHybridEngine:
             max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
             block=M, corpus_index=self.corpus_index)
         tr_draft = make_tr_draft(tr_parents, self.tr_depths, tr_rank, M)
+        inline = getattr(self, "inline_prefill", False)
 
         def retrieval_draft(history, hist_len, start):
             match, use_dyn, raw, cont_avail = retrieve(history, hist_len,
@@ -560,7 +570,7 @@ class BatchedFusedHybridEngine:
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def fused(params, kv_k, kv_v, harvests, seens, histories, hist_lens,
                   starts, budgets, actives, eos_id, keys, samp_flags,
-                  refill, tables=None, alloc_limits=None):
+                  refill, prompt_lens, tables=None, alloc_limits=None):
             if paged is None:
                 alloc_limits = S
                 paged_aux = None
@@ -589,6 +599,29 @@ class BatchedFusedHybridEngine:
                                          tree_tokens)        # [B, M]
                 parents = jnp.where(use_sam[:, None], chain_parents[None],
                                     tree_parents_packed[None])
+                if inline:
+                    # inline prefill: draft the next M prompt tokens as a
+                    # forced-accept chain (see BatchedFusedSamEngine)
+                    pf_rest = prompt_lens - hist_lens        # [B]
+                    in_pf = pf_rest > 0
+                    forced = jnp.minimum(pf_rest, M).astype(jnp.int32)
+                    chunks = jax.vmap(
+                        lambda h, o: jax.lax.dynamic_slice(h, (o,), (M,))
+                    )(histories, hist_lens)
+                    # invalidate rows beyond the prompt so the harvest
+                    # scatter ignores them (rows = V for draft < 0)
+                    chunks = jnp.where(
+                        jnp.arange(M)[None, :] < forced[:, None], chunks,
+                        -1)
+                    draft_tokens = jnp.where(in_pf[:, None], chunks,
+                                             draft_tokens)
+                    # FULL-M chain: the hybrid's chain_parents self-parent
+                    # rows beyond n_predicts (retrieval drafts stop there),
+                    # but a prompt chunk uses the whole block
+                    pf_parents = jnp.arange(-1, M - 1, dtype=jnp.int32)
+                    parents = jnp.where(in_pf[:, None], pf_parents[None],
+                                        parents)
+                    use_sam = use_sam & ~in_pf
                 packed = jnp.stack([jnp.maximum(draft_tokens, 0), parents],
                                    axis=1)                   # [B, 2, M]
                 toks, tree_mask, depths, paths = jax.vmap(
@@ -623,6 +656,30 @@ class BatchedFusedHybridEngine:
                     acc = jnp.where(samp_flags[:, None],
                                     res_s.accepted_tokens, acc)
                     bonus = jnp.where(samp_flags, res_s.next_token, bonus)
+                if inline:
+                    # force-accept the prompt chunk: the chain path is the
+                    # identity, so path_nodes/acc stay correct; the
+                    # boundary block's bonus (argmax at the last prompt
+                    # row) is the first generated token
+                    alens = jnp.where(in_pf, forced, alens)
+                    acc = jnp.where(in_pf[:, None],
+                                    jnp.maximum(draft_tokens, 0)
+                                    [:, :acc.shape[1]], acc)
+                    path_nodes = jnp.where(
+                        in_pf[:, None],
+                        jnp.arange(path_nodes.shape[1],
+                                   dtype=path_nodes.dtype)[None, :],
+                        path_nodes)
+                    last_logits_tok = jnp.argmax(
+                        logits[jnp.arange(B),
+                               jnp.maximum(forced - 1, 0)], axis=-1
+                    ).astype(jnp.int32)
+                    bonus = jnp.where(in_pf, last_logits_tok, bonus)
+                    nxt_prompt = jax.vmap(lambda h, o: h[o])(
+                        histories, jnp.minimum(hist_lens + M,
+                                               jnp.int32(S - 1)))
+                    bonus = jnp.where(in_pf & (pf_rest > M), nxt_prompt,
+                                      bonus)
 
                 # per-slot KV gather-compaction of the winning path
                 if paged is None:
@@ -657,6 +714,8 @@ class BatchedFusedHybridEngine:
                 Dp = acc.shape[1]
                 is_eos = (acc == eos_id) & \
                     (jnp.arange(Dp)[None] < alens[:, None])
+                if inline:
+                    is_eos = is_eos & ~in_pf[:, None]
                 any_eos = jnp.any(is_eos, axis=1)
                 alens = jnp.where(any_eos,
                                   jnp.argmax(is_eos, axis=1).astype(jnp.int32)
@@ -666,9 +725,14 @@ class BatchedFusedHybridEngine:
                     lambda h, a, o: jax.lax.dynamic_update_slice(h, a, (o,))
                 )(histories, acc, hist_lens)
                 hist_lens = hist_lens + alens
-                budgets = budgets - alens
+                if inline:   # prompt tokens consume no generation budget
+                    budgets = budgets - jnp.where(in_pf, 0, alens)
+                    slot_steps = slot_steps + jnp.where(
+                        in_pf, 0, lives.astype(jnp.int32))
+                else:
+                    budgets = budgets - alens
+                    slot_steps = slot_steps + lives.astype(jnp.int32)
                 starts = jnp.where(lives, bonus, starts)
-                slot_steps = slot_steps + lives.astype(jnp.int32)
                 sam_steps = sam_steps + (lives & use_sam).astype(jnp.int32)
                 lives = lives & ~any_eos & (budgets > 0) & \
                     (hist_lens + M <= alloc_limits)
@@ -701,6 +765,25 @@ class BatchedFusedHybridEngine:
                            gen_config or GenerationConfig()))
         return rid
 
+    def _admit_inline(self, slot: int) -> None:
+        """Inline-prefill admission bookkeeping (paged: free old pages)."""
+        if self._paged_cfg is not None:
+            self.page_reqs[slot].release()
+
+    def _seed_history(self, slot: int, ids) -> None:
+        """Inline-prefill admission: upload the prompt row only."""
+        if not hasattr(self, "_seed_fn"):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def seed(histories, row, slot):
+                return jax.lax.dynamic_update_slice(histories, row[None],
+                                                    (slot, 0))
+
+            self._seed_fn = seed
+        row = np.zeros(self.S, np.int32)
+        row[:len(ids)] = ids
+        self.histories = self._seed_fn(self.histories, jnp.asarray(row),
+                                       jnp.int32(slot))
+
     def run(self):
         B = self.B
         hist_lens = np.zeros(B, np.int32)
@@ -709,6 +792,7 @@ class BatchedFusedHybridEngine:
         actives = np.zeros(B, bool)
         samp_flags = np.zeros(B, bool)
         keys = np.zeros((B, 2), np.uint32)
+        prompt_lens = np.zeros(B, np.int32)
         slot_sigs = [None] * B
 
         while self.queue or actives.any():
@@ -718,24 +802,34 @@ class BatchedFusedHybridEngine:
                 if not self._can_admit(self.queue[0][1]):
                     break  # paged: no pages for a prompt yet; retry later
                 rid, ids, gen = self.queue.pop(0)
-                nt, last_logits = self._prefill_slot(i, ids)
-                if not gen.greedy:
-                    slot_sigs[i] = gen.sampling_signature
-                    samp_flags[i] = True
-                    k = jax.random.PRNGKey(gen.seed)
-                    if gen.temperature > 0:
-                        k, sub = jax.random.split(k)
-                        nt = jax.random.categorical(
-                            sub, last_logits / gen.temperature)
-                    keys[i] = np.asarray(k)
-                else:
+                if self.inline_prefill and gen.greedy:
+                    self._admit_inline(i)
+                    self._seed_history(i, ids)
+                    nt = ids[0]          # host-known; zero fetches
+                    hist_lens[i] = 0
+                    prompt_lens[i] = len(ids)
                     slot_sigs[i] = None
                     samp_flags[i] = False
+                else:
+                    nt, last_logits = self._prefill_slot(i, ids)
+                    hist_lens[i] = len(ids)
+                    prompt_lens[i] = 0
+                    if not gen.greedy:
+                        slot_sigs[i] = gen.sampling_signature
+                        samp_flags[i] = True
+                        k = jax.random.PRNGKey(gen.seed)
+                        if gen.temperature > 0:
+                            k, sub = jax.random.split(k)
+                            nt = jax.random.categorical(
+                                sub, last_logits / gen.temperature)
+                        keys[i] = np.asarray(k)
+                    else:
+                        slot_sigs[i] = None
+                        samp_flags[i] = False
                 self._slot_req[i] = rid
                 self._slot_prompt[i] = len(ids)
                 self._slot_max_new[i] = gen.max_new_tokens
                 self._slot_steps[i] = 0
-                hist_lens[i] = len(ids)
                 starts[i] = int(nt)
                 budgets[i] = gen.max_new_tokens
                 actives[i] = True
@@ -760,7 +854,8 @@ class BatchedFusedHybridEngine:
                 jnp.asarray(starts), jnp.asarray(budgets),
                 jnp.asarray(actives), jnp.int32(self.eos_token_id),
                 jnp.asarray(keys), jnp.asarray(samp_flags),
-                jnp.bool_(bool(self.queue)), *self._fused_extra_args())
+                jnp.bool_(bool(self.queue)), jnp.asarray(prompt_lens),
+                *self._fused_extra_args())
             self._set_device_state(state)
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
@@ -1208,6 +1303,10 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
             net_params = init_eagle_params(self.net_cfg,
                                            jax.random.PRNGKey(7))
         self.net_params = net_params
+        # one-shot prefill only: the draft net's (token, hidden) pairs sit
+        # one position behind the target KV, so an inline first block would
+        # land misaligned (write offset hist-1 = -1 clamps)
+        self.inline_prefill = False
 
         self._init_kv()
         self.ekv_k, self.ekv_v = init_eagle_kv(self.net_cfg, batch_size,
@@ -1365,7 +1464,8 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, histories,
                   last_hiddens, hist_lens, starts, budgets, actives, eos_id,
-                  keys, samp_flags, refill, tables=None, alloc_limits=None):
+                  keys, samp_flags, refill, prompt_lens, tables=None,
+                  alloc_limits=None):
             if paged is None:
                 alloc_limits = S
                 paged_aux = None

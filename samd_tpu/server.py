@@ -289,7 +289,8 @@ def build_server_engine(args):
                 else BatchedFusedHybridEngine)
         return ctor(cfg, params, hy_cfg, corpus=corpus,
                     batch_size=args.batch_size,
-                    max_cache_len=args.max_cache_len, eos_token_id=eos)
+                    max_cache_len=args.max_cache_len, eos_token_id=eos,
+                    inline_prefill=getattr(args, "inline_prefill", False))
     if args.engine == "eagle2_hybrid_batched":
         from .fused_hybrid import (BatchedFusedHybridEagleEngine,
                                    FusedHybridEagleConfig)
@@ -337,7 +338,7 @@ def main(argv=None):
     p.add_argument("--inline-prefill", action="store_true",
                    help="prompts stream through the decode loop as "
                         "forced-accept chains (zero admission stall; "
-                        "fused_sam_batched only)")
+                        "fused-sam and hybrid engines)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8089)
     p.add_argument("--cpu", action="store_true")

@@ -146,3 +146,48 @@ def test_inline_prefill_paged_matches_dense(tiny_model):
     for ra, rp in zip(ids_a, ids_p):
         assert results[rp].output_ids == expected[ra].output_ids
     assert len(paged.pool._free) == 32
+
+
+def test_inline_prefill_hybrid_matches_one_shot(tiny_model):
+    """SAM[Token Recycle] hybrid with inline prefill: the per-block harvest
+    covers the prompt rows exactly as the one-shot prefill scatter does, so
+    outputs AND subsequent tree drafts match the one-shot engine's."""
+    from samd_tpu.fused_hybrid import (
+        BatchedFusedHybridEngine,
+        FusedHybridConfig,
+        PagedBatchedFusedHybridEngine,
+    )
+
+    cfg, params = tiny_model
+    hy = FusedHybridConfig(max_ngram=4, ext=12, n_predicts=8,
+                           len_threshold=2, len_bias=0, tree_nodes=13,
+                           topk=4, max_block=16, corpus_capacity=1024,
+                           steps_per_call=4)
+    gen = GenerationConfig(max_new_tokens=20, max_cache_len=256)
+    prompts = _prompts(5, seed=29)
+
+    oneshot = BatchedFusedHybridEngine(cfg, params, hy, batch_size=2,
+                                       max_cache_len=256, eos_token_id=-1,
+                                       prefill_buckets=(64,))
+    ids_a = [oneshot.add_request(p, gen) for p in prompts]
+    expected = oneshot.run()
+
+    inline = BatchedFusedHybridEngine(cfg, params, hy, batch_size=2,
+                                      max_cache_len=256, eos_token_id=-1,
+                                      prefill_buckets=(64,),
+                                      inline_prefill=True)
+    ids_b = [inline.add_request(p, gen) for p in prompts]
+    results = inline.run()
+    for ra, rb, p in zip(ids_a, ids_b, prompts):
+        assert results[rb].output_ids == expected[ra].output_ids, \
+            f"prompt len {len(p)}"
+
+    paged = PagedBatchedFusedHybridEngine(
+        cfg, params, hy, batch_size=2, max_cache_len=256, eos_token_id=-1,
+        prefill_buckets=(64,), n_pages=32, page_size=16,
+        inline_prefill=True)
+    ids_p = [paged.add_request(p, gen) for p in prompts]
+    results_p = paged.run()
+    for ra, rp in zip(ids_a, ids_p):
+        assert results_p[rp].output_ids == expected[ra].output_ids
+    assert len(paged.pool._free) == 32
