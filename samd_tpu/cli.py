@@ -100,7 +100,8 @@ def build_engine(args):
 
         from .ops.quant import quantize_llama_params
 
-        qdtype = jnp.int8 if args.quantize == "int8" else jnp.float8_e4m3fn
+        qdtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+                  "int4": jnp.int4}[args.quantize]
         params = quantize_llama_params(params, dtype=qdtype)
 
     def quantized_net():
@@ -190,10 +191,12 @@ def main():
                    help="int8 KV cache (2x context per chip; single-stream "
                         "engines)")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "fp8"],
+                   choices=["none", "int8", "fp8", "int4"],
                    help="weight-only quantization (int8 is the fastest "
                         "serving config: 0.78x the bf16 step time on v5e, "
-                        "2.2x less parameter HBM)")
+                        "2.2x less parameter HBM; int4 packs two nibbles "
+                        "per byte — 4.4x less weight HBM, fits 13B-class "
+                        "models on one 16 GB chip)")
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--max-cache-len", type=int, default=2048)
     p.add_argument("--random-model", action="store_true")

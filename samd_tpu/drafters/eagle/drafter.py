@@ -158,14 +158,13 @@ class Eagle2Drafter:
         NEG = jnp.float32(-1e30)
 
         def head_logp(h, head):
-            # head may be a QuantizedTensor (weight-only int8/fp8 serving).
+            # head may be quantized (weight-only int8/fp8/int4 serving).
             # It is a traced ARG, not self.head: a closure-captured weight
             # bakes into the HLO as a constant (7B exceeds the remote-
             # compile size cap — see eagle_fused.make_eagle_expand).
-            from ...ops.quant import QuantizedTensor
-            if isinstance(head, QuantizedTensor):
-                head = head.q.astype(h.dtype) * head.scale.astype(h.dtype)
-            logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+            from ...ops.quant import dequant
+            logits = jnp.dot(h, dequant(head, h.dtype),
+                             preferred_element_type=jnp.float32)
             return jax.nn.log_softmax(logits, axis=-1)
 
         @jax.jit

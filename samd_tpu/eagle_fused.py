@@ -63,13 +63,10 @@ def make_eagle_expand(*, net_cfg, S: int, depth: int,
     NEG = jnp.float32(-1e30)
 
     def head_logp(h, head):
-        # head may be a QuantizedTensor (weight-only int8/fp8 serving)
-        from .ops.quant import QuantizedTensor
-        if isinstance(head, QuantizedTensor):
-            hd = head.q.astype(h.dtype) * head.scale.astype(h.dtype)
-        else:
-            hd = head
-        logits = jnp.dot(h, hd, preferred_element_type=jnp.float32)
+        # head may be quantized (weight-only int8/fp8/int4 serving)
+        from .ops.quant import dequant
+        logits = jnp.dot(h, dequant(head, h.dtype),
+                         preferred_element_type=jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1)
 
     def expand(net_params, embed, head, ekv_k, ekv_v, stable_len,

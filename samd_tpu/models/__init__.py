@@ -2,6 +2,7 @@ from .configs import (
     ModelConfig,
     from_hf_config,
     llama3_8b,
+    llama_13b,
     llama_1b,
     llama_7b,
     mixtral_8x7b,
@@ -19,7 +20,7 @@ from .llama import (
 )
 
 __all__ = [
-    "ModelConfig", "from_hf_config", "llama3_8b", "llama_1b", "llama_7b",
+    "ModelConfig", "from_hf_config", "llama3_8b", "llama_1b", "llama_7b", "llama_13b",
     "qwen2_7b", "mixtral_8x7b", "tiny_config", "tiny_qwen2_config",
     "tiny_moe_config", "forward", "init_params", "param_count",
     "prefill_mask", "block_decode_mask",

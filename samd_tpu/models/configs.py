@@ -81,6 +81,18 @@ def llama_7b() -> ModelConfig:
     )
 
 
+def llama_13b() -> ModelConfig:
+    """Vicuna-13B-v1.3 / Llama-2-13B shape (the reference's largest
+    Spec-Bench target, /root/reference/README.md).  bf16 (26 GB) and int8
+    (13 GB + KV) do not fit one 16 GB v5e; packed int4 (~6.6 GB) does —
+    the single-chip 13B serving config."""
+    return ModelConfig(
+        vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+        num_layers=40, num_heads=40, num_kv_heads=40, head_dim=128,
+        rope_theta=10000.0, rms_eps=1e-6, max_position_embeddings=4096,
+    )
+
+
 def llama3_8b() -> ModelConfig:
     return ModelConfig(
         vocab_size=128256, hidden_size=4096, intermediate_size=14336,

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quant import QuantizedTensor, qmatmul
+from ..ops.quant import qmatmul
 from .configs import ModelConfig
 
 Params = Dict[str, object]
@@ -323,15 +323,12 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     h, (kv_k, kv_v) = jax.lax.scan(layer_step, h, (params["layers"], kv_k, kv_v))
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    if isinstance(head, QuantizedTensor):
-        # pre-dequant form (see ops/quant.qmatmul) but with f32 logits:
-        # verify compares fp32 logit argmaxes, keep the head accumulation
-        # and output dtype identical to the bf16 path
-        logits = jnp.dot(h, head.q.astype(h.dtype)
-                         * head.scale.astype(h.dtype),
-                         preferred_element_type=jnp.float32)
-    else:
-        logits = jnp.dot(h, head, preferred_element_type=jnp.float32)
+    # pre-dequant form for quantized heads (see ops/quant.qmatmul) but with
+    # f32 logits: verify compares fp32 logit argmaxes, keep the head
+    # accumulation and output dtype identical to the bf16 path
+    from ..ops.quant import dequant
+    logits = jnp.dot(h, dequant(head, h.dtype),
+                     preferred_element_type=jnp.float32)
     return logits, h, kv_k, kv_v
 
 

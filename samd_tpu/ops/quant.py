@@ -65,6 +65,77 @@ def quantize_weight(w: jax.Array, *, axis: int = -2,
     return QuantizedTensor(q=q, scale=jnp.squeeze(scale, axis=axis))
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Int4Tensor:
+    """Packed int4 values (two nibbles per uint8 byte) + per-output-channel
+    scales.
+
+    The tunneled-TPU platform cannot transfer S4 arrays at all (axon-plugin
+    recursion, docs/PERFORMANCE.md "Measured dead ends"), so int4 weights
+    live as ``uint8 [..., in, out/2]`` in the param tree and are unpacked
+    INSIDE the jitted forward — no S4 value ever crosses the host↔device
+    boundary.  Packing runs along the *output* axis in HALVES layout: byte
+    ``[..., i, j]`` holds out-channel ``j`` in the low nibble and
+    ``j + out/2`` in the high nibble, so the unpack is two sign-extending
+    shifts and a trailing-axis concat (no interleave/transpose anywhere),
+    and the Pallas kernel (ops/int4_matmul.py) computes the two output
+    halves as two contiguous dots from ONE streamed byte block — true
+    0.5 bytes/weight HBM traffic.  (Measured XLA-only alternatives all
+    fail to halve the stream: ``bitcast_convert_type`` to jnp.int4 is
+    emulated ~5x slower, an interleaving stack+reshape materializes the
+    unpacked weight, and any concat/stack operand fusion reads the packed
+    byte once PER NIBBLE — int8-parity traffic at best.)
+    """
+
+    packed: jax.Array  # uint8 [..., in, out//2]
+    scale: jax.Array   # f32   [..., out]
+
+    def tree_flatten(self):
+        return (self.packed, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.packed.shape[:-1] + (self.packed.shape[-1] * 2,)
+
+
+def quantize_weight4(w: jax.Array, *, axis: int = -2) -> Int4Tensor:
+    """Symmetric per-output-channel int4 quantization ([-7, 7]) with
+    halves-layout nibble-packing along the output axis; `axis` is the
+    contraction axis reduced for the scales (same convention as
+    quantize_weight)."""
+    assert axis in (-2, w.ndim - 2), "int4 packs along the output (-1) axis"
+    assert w.shape[-1] % 2 == 0, "output dim must be even for nibble packing"
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = amax / 7.0
+    q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -7, 7
+                 ).astype(jnp.int32)
+    half = w.shape[-1] // 2
+    lo = q[..., :half] & 0xF
+    hi = q[..., half:] & 0xF
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return Int4Tensor(packed=packed, scale=jnp.squeeze(scale, axis=axis))
+
+
+def _deq4(w: Int4Tensor, dtype) -> jax.Array:
+    """Pre-dequant XLA form for Int4Tensor: two sign-extending shifts and a
+    trailing-axis concat (halves layout — no interleave).  This is the
+    fallback for consumers the Pallas kernel doesn't serve (CPU tests, MoE
+    expert einsums); its dot-operand fusion reads each byte once per nibble,
+    i.e. int8-parity HBM traffic at half the at-rest footprint.  The hot
+    path is ops/int4_matmul.int4_matmul."""
+    pi = w.packed.astype(jnp.int8)
+    lo = jnp.left_shift(pi, 4) >> 4          # sign-extended low nibble
+    hi = pi >> 4                              # arithmetic shift: high nibble
+    unpacked = jnp.concatenate([lo, hi], axis=-1)
+    return unpacked.astype(dtype) * w.scale[..., None, :].astype(dtype)
+
+
 def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
     """x @ w with transparent weight-only dequantization.
 
@@ -78,6 +149,8 @@ def qmatmul(x: jax.Array, w: Union[jax.Array, QuantizedTensor]) -> jax.Array:
     """
     if isinstance(w, QuantizedTensor):
         return x @ (w.q.astype(x.dtype) * w.scale.astype(x.dtype))
+    if isinstance(w, Int4Tensor):
+        return x @ _deq4(w, x.dtype)
     return x @ w
 
 
@@ -88,6 +161,8 @@ def dequant(w: Union[jax.Array, QuantizedTensor], dtype) -> jax.Array:
     load exactly as qmatmul's form does.  Plain arrays pass through."""
     if isinstance(w, QuantizedTensor):
         return w.q.astype(dtype) * w.scale[..., None, :].astype(dtype)
+    if isinstance(w, Int4Tensor):
+        return _deq4(w, dtype)
     return w
 
 
@@ -101,17 +176,26 @@ def quantize_llama_params(params: dict, *, dtype=jnp.int8) -> dict:
     # MoE expert stacks [L, E, in, out] quantize along the same -2
     # contraction axis (scales [L, E, out]); router and biases stay high
     # precision like the norms.
+    quant = (quantize_weight4 if dtype == jnp.int4
+             else lambda w, axis=-2: quantize_weight(w, axis=axis,
+                                                     dtype=dtype))
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        layers[name] = quantize_weight(layers[name], axis=-2, dtype=dtype)
+        layers[name] = quant(layers[name], axis=-2)
     out["layers"] = layers
     if "lm_head" in params:
-        out["lm_head"] = quantize_weight(params["lm_head"], axis=-2,
-                                         dtype=dtype)
+        out["lm_head"] = quant(params["lm_head"], axis=-2)
     return out
 
 
 def init_quantized_llama_params(cfg, key, *, scale: float = 0.02,
                                 dtype=jnp.int8) -> dict:
+    if dtype == jnp.int4:
+        return _init_int4_llama_params(cfg, key, scale=scale)
+    return _init_quantized_llama_params(cfg, key, scale=scale, dtype=dtype)
+
+
+def _init_quantized_llama_params(cfg, key, *, scale: float = 0.02,
+                                 dtype=jnp.int8) -> dict:
     """Random parameter pytree built DIRECTLY in 1-byte form — for
     random-weight benches of models whose bf16 form would not fit a single
     chip's HBM (7B-class on one 16 GB v5e: 13.5 GB bf16 vs 6.8 GB int8).
@@ -158,14 +242,60 @@ def init_quantized_llama_params(cfg, key, *, scale: float = 0.02,
     return params
 
 
+def _init_int4_llama_params(cfg, key, *, scale: float = 0.02) -> dict:
+    """int4 sibling of the random 1-byte init: packed uint8 bytes generated
+    directly on device (two uniform [-8, 7] nibbles per byte, std ≈ 4.61),
+    per-channel constant scales matching init_params' normal-init std.  The
+    7B int4 projection tree is ~3.3 GB — half the int8 one."""
+    import numpy as np
+
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(key, 12)
+    s = scale / float(np.sqrt((16 ** 2 - 1) / 12.0))  # nibble std ≈ 4.61
+
+    def qrand(k, shape):
+        packed = jax.random.randint(k, shape[:-1] + (shape[-1] // 2,),
+                                    0, 256, dtype=jnp.uint8)
+        return Int4Tensor(packed=packed,
+                          scale=jnp.full(shape[:-2] + shape[-1:], s,
+                                         jnp.float32))
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    params = {
+        "embed": norm(keys[0], (cfg.vocab_size, H)),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), cfg.dtype),
+            "wq": qrand(keys[1], (L, H, NH * D)),
+            "wk": qrand(keys[2], (L, H, KH * D)),
+            "wv": qrand(keys[3], (L, H, KH * D)),
+            "wo": qrand(keys[4], (L, NH * D, H)),
+            "mlp_norm": jnp.ones((L, H), cfg.dtype),
+            "w_gate": qrand(keys[5], (L, H, I)),
+            "w_up": qrand(keys[6], (L, H, I)),
+            "w_down": qrand(keys[7], (L, I, H)),
+        },
+        "final_norm": jnp.ones((H,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = qrand(keys[8], (H, cfg.vocab_size))
+    return params
+
+
 def quantize_eagle_params(params: dict, *, dtype=jnp.int8) -> dict:
     """Quantize an EAGLE draft-net param dict (drafters.eagle.net): the
     expansion loop runs the net ``depth`` times per decode step, so its
     weight streaming is paid depth-fold — halving it matters as much as the
     target model's.  fc_b and mlp_norm stay high precision."""
     out = dict(params)
+    quant = (quantize_weight4 if dtype == jnp.int4
+             else lambda w, axis=-2: quantize_weight(w, axis=axis,
+                                                     dtype=dtype))
     for name in ("fc_w", "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        out[name] = quantize_weight(params[name], axis=-2, dtype=dtype)
+        out[name] = quant(params[name], axis=-2)
     return out
 
 

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--s", type=int, default=1024)
     ap.add_argument("--m", type=int, default=60)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int4", action="store_true",
+                    help="packed-nibble int4 weights (ops/quant.Int4Tensor)")
     ap.add_argument("--model", default="1b", choices=("1b", "7b"),
                     help="7b implies --int8 (bf16 7B does not fit next to "
                          "anything else on a 16 GB chip)")
@@ -54,17 +56,19 @@ def main():
     from samd_tpu.models import init_params, llama_1b, llama_7b
     from samd_tpu.models.llama import block_decode_mask, forward
 
+    qdtype = jnp.int4 if args.int4 else jnp.int8
     if args.model == "7b":
         from samd_tpu.ops.quant import init_quantized_llama_params
 
         cfg = llama_7b()
-        params = init_quantized_llama_params(cfg, jax.random.PRNGKey(0))
+        params = init_quantized_llama_params(cfg, jax.random.PRNGKey(0),
+                                             dtype=qdtype)
     else:
         cfg = llama_1b()
         params = init_params(cfg, jax.random.PRNGKey(0))
-        if args.int8:
+        if args.int8 or args.int4:
             from samd_tpu.ops.quant import quantize_llama_params
-            params = quantize_llama_params(params)
+            params = quantize_llama_params(params, dtype=qdtype)
     if args.flash:
         from dataclasses import replace as _dcr
 
@@ -87,8 +91,11 @@ def main():
         rng.integers(3, cfg.vocab_size, size=S).astype(np.int32))
     hist_len0 = jnp.int32(128)
 
-    Wn = args.window if args.window and args.window < S else None
-    Wc = Wn or S
+    if args.window:
+        raise SystemExit("--window was removed with llama.forward's "
+                         "attn_window (a cache slice recovers nothing — "
+                         "docs/PERFORMANCE.md); use cache_buckets instead")
+    Wc = S
 
     def fwd_block(params, kv_k, kv_v, tokens, hist_len, draft_len):
         s = jnp.arange(Wc)[None, None, :]
@@ -98,7 +105,7 @@ def main():
         mask = mask | (s == (hist_len + chain_pos)[None, :, None])
         logits, _, kv_k, kv_v = forward(
             params, cfg, tokens[None], chain_pos[None, :] + hist_len,
-            kv_k, kv_v, hist_len, mask, attn_window=Wn)
+            kv_k, kv_v, hist_len, mask)
         return logits, kv_k, kv_v
 
     # --- (a) forward only, K times (fixed tokens; carry a token to chain) --

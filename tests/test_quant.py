@@ -153,3 +153,126 @@ def test_init_quantized_params_serves():
                          prefill_buckets=(32,))
     assert eng.generate(prompt, gen).output_ids == \
         ar.generate(prompt, gen).output_ids
+
+
+# ----------------------------------------------------------------------
+# INT4 (packed-nibble) weight-only
+# ----------------------------------------------------------------------
+
+def test_int4_pack_roundtrip():
+    """quantize_weight4 packs two out-channels per byte (low nibble =
+    even channel); the in-jit unpack reproduces the quantized values."""
+    from samd_tpu.ops.quant import Int4Tensor, _deq4, quantize_weight4
+
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (64, 32)))
+    qt = quantize_weight4(jnp.asarray(w))
+    assert isinstance(qt, Int4Tensor)
+    assert qt.packed.dtype == jnp.uint8
+    assert qt.packed.shape == (64, 16)
+    assert qt.shape == (64, 32)
+    assert qt.scale.shape == (32,)
+
+    scale = np.abs(w).max(axis=0) / 7.0
+    q = np.clip(np.round(w / scale), -7, 7)
+    deq = np.asarray(jax.jit(lambda t: _deq4(t, jnp.float32))(qt))
+    assert np.array_equal(deq, q * scale)
+    # relative error bounded by the 4-bit grid
+    err = np.abs(deq - w).max() / np.abs(w).max()
+    assert err < 0.08  # ~1/14 relative
+
+
+def test_int4_qmatmul_matches_manual_dequant():
+    from samd_tpu.ops.quant import qmatmul, quantize_weight4
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (8, 64))
+    w = jax.random.normal(k2, (64, 32))
+    qt = quantize_weight4(w)
+    scale = np.abs(np.asarray(w)).max(axis=0) / 7.0
+    q = np.clip(np.round(np.asarray(w) / scale), -7, 7)
+    ref = np.asarray(x) @ (q * scale)
+    got = np.asarray(jax.jit(qmatmul)(x, qt))
+    assert np.allclose(got, ref, atol=1e-5)
+
+
+def test_int4_stacked_layer_shapes():
+    from samd_tpu.models import init_params, tiny_config
+    from samd_tpu.ops.quant import Int4Tensor, quantize_llama_params
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    q4 = quantize_llama_params(params, dtype=jnp.int4)
+    wq = q4["layers"]["wq"]
+    assert isinstance(wq, Int4Tensor)
+    out = cfg.num_heads * cfg.head_dim
+    assert wq.packed.shape == (cfg.num_layers, cfg.hidden_size, out // 2)
+    assert wq.scale.shape == (cfg.num_layers, out)
+    from samd_tpu.ops.quant import quantized_bytes
+    assert quantized_bytes(q4) < 0.30 * quantized_bytes(params)
+
+
+def test_int4_engine_lossless_vs_int4_ar():
+    """Speculative decoding with packed-int4 weights equals the int4 AR
+    baseline bitwise (losslessness holds at any weight precision)."""
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg = tiny_config(vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    q4 = quantize_llama_params(params, dtype=jnp.int4)
+    gen = GenerationConfig(max_new_tokens=24, max_cache_len=256)
+    prompt = np.random.default_rng(2).integers(3, 128, size=16).tolist()
+
+    M = 8
+    oracle = ArBaseline(cfg, q4, max_cache_len=256, eos_token_id=-1,
+                        prefill_buckets=(32,), block_size=M)
+    ref = oracle.generate(prompt, gen)
+    eng = FusedSamEngine(cfg, q4,
+                         FusedSamConfig(n_predicts=M - 1, steps_per_call=64,
+                                        corpus_capacity=512),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == ref.output_ids
+
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=8, len_bias=0)
+    engine = SamdEngine(cfg, q4, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size),
+                        max_cache_len=256, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    host_ref = ArBaseline(cfg, q4, max_cache_len=256, eos_token_id=-1,
+                          prefill_buckets=(32,)).generate(prompt, gen)
+    assert engine.generate(prompt, gen).output_ids == host_ref.output_ids
+
+
+def test_int4_init_params_serves():
+    """Direct packed-int4 random init (no wider intermediate) drives the
+    fused engine losslessly — the 7B int4 single-chip bench path."""
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.ops.quant import Int4Tensor, init_quantized_llama_params
+
+    cfg = tiny_config(vocab_size=128)
+    params = init_quantized_llama_params(cfg, jax.random.PRNGKey(0),
+                                         scale=0.4, dtype=jnp.int4)
+    assert isinstance(params["layers"]["wq"], Int4Tensor)
+    assert params["layers"]["wq"].packed.dtype == jnp.uint8
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    prompt = np.random.default_rng(3).integers(3, 128, size=20).tolist()
+    ar = ArBaseline(cfg, params, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=8)
+    eng = FusedSamEngine(cfg, params, FusedSamConfig(n_predicts=7),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
+
+
+def test_int4_eagle_params():
+    from samd_tpu.drafters.eagle.net import init_eagle_params, EagleNetConfig
+    from samd_tpu.ops.quant import Int4Tensor, quantize_eagle_params
+
+    ncfg = EagleNetConfig(hidden_size=32, intermediate_size=64,
+                          num_heads=2, num_kv_heads=2, head_dim=16)
+    net = init_eagle_params(ncfg, jax.random.PRNGKey(0))
+    q4 = quantize_eagle_params(net, dtype=jnp.int4)
+    assert isinstance(q4["wq"], Int4Tensor)
+    assert not isinstance(q4["mlp_norm"], Int4Tensor)
