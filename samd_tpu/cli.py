@@ -103,6 +103,13 @@ def build_engine(args):
         qdtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
                   "int4": jnp.int4}[args.quantize]
         params = quantize_llama_params(params, dtype=qdtype)
+        if args.quantize == "int4" and not args.cpu:
+            # the Pallas weight-streaming kernel is the int4 speed path
+            # (0.5 bytes/weight; the XLA fallback streams int8-parity
+            # bytes) — auto-select it on the TPU
+            from dataclasses import replace
+
+            cfg = replace(cfg, int4_impl="kernel")
 
     def quantized_net():
         """EAGLE draft net matching the engines' default init, quantized to

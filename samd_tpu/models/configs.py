@@ -57,6 +57,23 @@ class ModelConfig:
     #          layout — streams S-blocks with the 128-aligned lane dim and
     #          no per-layer transpose; XLA attention handles it via einsum)
     kv_layout: str = "sd"
+    # Matmul implementation for packed-int4 weights (ops/quant.Int4Tensor):
+    #   "xla"              – pre-dequant fallback (int8-parity HBM traffic,
+    #                        half at-rest footprint; CPU-safe)
+    #   "kernel"           – Pallas weight-streaming kernel
+    #                        (ops/int4_matmul.py): true 0.5 bytes/weight —
+    #                        the speed path on TPU (dense-MLP projections +
+    #                        quantized lm_head; MoE expert einsums stay XLA)
+    #   "kernel_interpret" – same kernel interpreted (CPU tests)
+    # Engines and their equality oracles must share the setting (the two
+    # forms round differently — own-trajectory rule, docs/PERFORMANCE.md).
+    int4_impl: str = "xla"
+    # int4 kernel tile sizes (contraction rows / output-half columns per
+    # block; clamped to the 2 MB scoped-VMEM budget in ops/int4_matmul):
+    # 2048x1024 won the sweep at both 1B and 7B shapes
+    # (scripts/profile_int4.py)
+    int4_block_n: int = 1024
+    int4_block_k: int = 2048
     # INT8 KV cache (cache.QuantizedKV): int8 values + one fp32 scale per
     # (token, kv-head).  Halves KV footprint; trajectories differ from the
     # bf16 cache's (near-tie argmaxes), so greedy-equality oracles must

@@ -276,18 +276,48 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
                                write_scale(cache.scale, sc))
         return write_kv(cache, block)
 
+    # Packed-int4 weights (ops/quant.Int4Tensor) under int4_impl="kernel*"
+    # go through the Pallas weight-streaming kernel (ops/int4_matmul.py).
+    # The kernel needs the FULL stacked [L, in, out/2] array (a scan-xs
+    # slice would force an HBM copy in front of the custom call — XLA fuses
+    # dynamic-slice into dot operands but not into pallas_call), so these
+    # weights are lifted OUT of the scanned pytree and the scan body passes
+    # a layer index the kernel block-indexes via scalar prefetch.  MoE
+    # expert stacks keep the XLA pre-dequant path (their einsums contract
+    # over the expert axis, a shape the kernel doesn't serve).
+    from ..ops.quant import Int4Tensor
+    layers_p = params["layers"]
+    use_int4_kernel = cfg.int4_impl in ("kernel", "kernel_interpret")
+    int4_interp = cfg.int4_impl == "kernel_interpret"
+    kernel_names = ("wq", "wk", "wv", "wo") if cfg.num_experts else \
+        ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    int4_names = tuple(n for n in kernel_names
+                       if isinstance(layers_p.get(n), Int4Tensor)) \
+        if use_int4_kernel else ()
+    scan_layers = {k: v for k, v in layers_p.items() if k not in int4_names}
+
+    def mm(x, lp, name, lidx):
+        if name in int4_names:
+            from ..ops.int4_matmul import int4_matmul
+            t = layers_p[name]
+            return int4_matmul(x, t.packed, t.scale, lidx,
+                               block_n=cfg.int4_block_n,
+                               block_k=cfg.int4_block_k,
+                               interpret=int4_interp)
+        return qmatmul(x, lp[name])
+
     def layer_step(carry, xs):
         h = carry
-        lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
+        lidx, lp, k_cache, v_cache = xs  # k_cache/v_cache: [B,KH,S,D]
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
         if cfg.attn_bias:
-            q = (qmatmul(x, lp["wq"]) + lp["bq"]).reshape(B, T, NH, D)
-            k = (qmatmul(x, lp["wk"]) + lp["bk"]).reshape(B, T, KH, D)
-            v = (qmatmul(x, lp["wv"]) + lp["bv"]).reshape(B, T, KH, D)
+            q = (mm(x, lp, "wq", lidx) + lp["bq"]).reshape(B, T, NH, D)
+            k = (mm(x, lp, "wk", lidx) + lp["bk"]).reshape(B, T, KH, D)
+            v = (mm(x, lp, "wv", lidx) + lp["bv"]).reshape(B, T, KH, D)
         else:
-            q = qmatmul(x, lp["wq"]).reshape(B, T, NH, D)
-            k = qmatmul(x, lp["wk"]).reshape(B, T, KH, D)
-            v = qmatmul(x, lp["wv"]).reshape(B, T, KH, D)
+            q = mm(x, lp, "wq", lidx).reshape(B, T, NH, D)
+            k = mm(x, lp, "wk", lidx).reshape(B, T, KH, D)
+            v = mm(x, lp, "wv", lidx).reshape(B, T, KH, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         k_cache = write_kv_any(k_cache, k.transpose(0, 2, 1, 3))
@@ -309,26 +339,37 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
                 interpret=cfg.attention_impl == "flash_interpret")
         else:
             ctx = _attention(q, k_cache, v_cache, attn_mask, cfg)
-        attn_out = qmatmul(ctx, lp["wo"])
+        attn_out = mm(ctx, lp, "wo", lidx)
         h = h + attn_out
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
         if cfg.num_experts:
             h = h + _moe_mlp(x, lp, cfg)
         else:
-            gated = jax.nn.silu(qmatmul(x, lp["w_gate"])) \
-                * qmatmul(x, lp["w_up"])
-            h = h + qmatmul(gated, lp["w_down"])
+            gated = jax.nn.silu(mm(x, lp, "w_gate", lidx)) \
+                * mm(x, lp, "w_up", lidx)
+            h = h + mm(gated, lp, "w_down", lidx)
         return h, (k_cache, v_cache)
 
-    h, (kv_k, kv_v) = jax.lax.scan(layer_step, h, (params["layers"], kv_k, kv_v))
+    L = cfg.num_layers
+    h, (kv_k, kv_v) = jax.lax.scan(
+        layer_step, h,
+        (jnp.arange(L, dtype=jnp.int32), scan_layers, kv_k, kv_v))
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     # pre-dequant form for quantized heads (see ops/quant.qmatmul) but with
     # f32 logits: verify compares fp32 logit argmaxes, keep the head
     # accumulation and output dtype identical to the bf16 path
     from ..ops.quant import dequant
-    logits = jnp.dot(h, dequant(head, h.dtype),
-                     preferred_element_type=jnp.float32)
+    if isinstance(head, Int4Tensor) and use_int4_kernel:
+        from ..ops.int4_matmul import int4_matmul
+        logits = int4_matmul(h, head.packed, head.scale,
+                             out_dtype=jnp.float32,
+                             block_n=cfg.int4_block_n,
+                             block_k=cfg.int4_block_k,
+                             interpret=int4_interp)
+    else:
+        logits = jnp.dot(h, dequant(head, h.dtype),
+                         preferred_element_type=jnp.float32)
     return logits, h, kv_k, kv_v
 
 

@@ -77,11 +77,12 @@ class Int4Tensor:
     INSIDE the jitted forward — no S4 value ever crosses the host↔device
     boundary.  Packing runs along the *output* axis in HALVES layout: byte
     ``[..., i, j]`` holds out-channel ``j`` in the low nibble and
-    ``j + out/2`` in the high nibble, so the unpack is two sign-extending
-    shifts and a trailing-axis concat (no interleave/transpose anywhere),
-    and the Pallas kernel (ops/int4_matmul.py) computes the two output
-    halves as two contiguous dots from ONE streamed byte block — true
-    0.5 bytes/weight HBM traffic.  (Measured XLA-only alternatives all
+    ``j + out/2`` in the high nibble (each nibble UNSIGNED with zero-point
+    8 — see quantize_weight4), so the unpack is one mask + one shift and a
+    trailing-axis concat (no interleave/transpose anywhere), and the Pallas
+    kernel (ops/int4_matmul.py) computes the two output halves as two
+    contiguous dots from ONE streamed byte block — true 0.5 bytes/weight
+    HBM traffic.  (Measured XLA-only alternatives all
     fail to halve the stream: ``bitcast_convert_type`` to jnp.int4 is
     emulated ~5x slower, an interleaving stack+reshape materializes the
     unpacked weight, and any concat/stack operand fusion reads the packed
@@ -115,9 +116,14 @@ def quantize_weight4(w: jax.Array, *, axis: int = -2) -> Int4Tensor:
     scale = amax / 7.0
     q = jnp.clip(jnp.round(wf / jnp.maximum(scale, 1e-12)), -7, 7
                  ).astype(jnp.int32)
+    # Nibbles are stored UNSIGNED with zero-point 8 (u = q + 8 in [1, 15]):
+    # the kernel's unpack is then shift+mask+convert only (2 VPU ops per
+    # byte) and the -8 bias folds into a rank-1 correction
+    # (y -= 8·Σx · scale) — the unpack arithmetic is what bounds the
+    # kernel's streaming rate (ops/int4_matmul.py).
     half = w.shape[-1] // 2
-    lo = q[..., :half] & 0xF
-    hi = q[..., half:] & 0xF
+    lo = (q[..., :half] + 8) & 0xF
+    hi = (q[..., half:] + 8) & 0xF
     packed = (lo | (hi << 4)).astype(jnp.uint8)
     return Int4Tensor(packed=packed, scale=jnp.squeeze(scale, axis=axis))
 
@@ -129,10 +135,10 @@ def _deq4(w: Int4Tensor, dtype) -> jax.Array:
     expert einsums); its dot-operand fusion reads each byte once per nibble,
     i.e. int8-parity HBM traffic at half the at-rest footprint.  The hot
     path is ops/int4_matmul.int4_matmul."""
-    pi = w.packed.astype(jnp.int8)
-    lo = jnp.left_shift(pi, 4) >> 4          # sign-extended low nibble
-    hi = pi >> 4                              # arithmetic shift: high nibble
-    unpacked = jnp.concatenate([lo, hi], axis=-1)
+    pi = w.packed.astype(jnp.int32)
+    lo = (pi & 15) - 8                        # zero-point-8 unsigned nibbles
+    hi = (pi >> 4) - 8
+    unpacked = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
     return unpacked.astype(dtype) * w.scale[..., None, :].astype(dtype)
 
 

@@ -276,3 +276,95 @@ def test_int4_eagle_params():
     q4 = quantize_eagle_params(net, dtype=jnp.int4)
     assert isinstance(q4["wq"], Int4Tensor)
     assert not isinstance(q4["mlp_norm"], Int4Tensor)
+
+
+# ----------------------------------------------------------------------
+# INT4 Pallas kernel path (ops/int4_matmul, ModelConfig.int4_impl)
+# ----------------------------------------------------------------------
+
+def _kernel_cfg(**kw):
+    """256-divisible dims (the kernel's contraction-block requirement)."""
+    from samd_tpu.models import ModelConfig
+    return ModelConfig(vocab_size=512, hidden_size=256,
+                       intermediate_size=512, num_layers=3, num_heads=4,
+                       num_kv_heads=2, head_dim=64, dtype=jnp.float32, **kw)
+
+
+def test_int4_kernel_matches_xla_dequant():
+    """The Pallas kernel (interpret mode) reproduces the XLA pre-dequant
+    form up to dequant-order rounding, for 2D and stacked weights."""
+    from samd_tpu.ops.int4_matmul import int4_matmul
+    from samd_tpu.ops.quant import Int4Tensor, _deq4, quantize_weight4
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(k1, (8, 512)).astype(jnp.float32)
+    w = jax.random.normal(k2, (512, 256))
+    qt = quantize_weight4(w)
+    ref = np.asarray(jax.jit(lambda x, t: x @ _deq4(t, x.dtype))(x, qt))
+    got = np.asarray(int4_matmul(x, qt.packed, qt.scale, interpret=True))
+    assert np.allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    packed = jnp.stack([quantize_weight4(
+        jax.random.normal(jax.random.PRNGKey(i), (512, 256))).packed
+        for i in range(3)])
+    scale = jnp.stack([quantize_weight4(
+        jax.random.normal(jax.random.PRNGKey(i), (512, 256))).scale
+        for i in range(3)])
+    for layer in range(3):
+        t = Int4Tensor(packed[layer], scale[layer])
+        ref = np.asarray(jax.jit(lambda x, t: x @ _deq4(t, x.dtype))(x, t))
+        got = np.asarray(int4_matmul(x, packed, scale, jnp.int32(layer),
+                                     interpret=True))
+        assert np.allclose(got, ref, atol=1e-4, rtol=1e-4), layer
+
+
+def test_int4_kernel_forward_matches_xla_path():
+    """forward() with int4_impl="kernel_interpret" matches the XLA dequant
+    path (fp32 activations: the two dequant orders agree to float rounding)."""
+    from dataclasses import replace
+
+    from samd_tpu.models import init_params
+    from samd_tpu.models.llama import forward, prefill_mask
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg = _kernel_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.1)
+    q4 = quantize_llama_params(params, dtype=jnp.int4)
+    B, T, S = 1, 8, 32
+    toks = (jnp.arange(B * T, dtype=jnp.int32).reshape(B, T)) % cfg.vocab_size
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+    kv = jnp.zeros((cfg.num_layers, B, cfg.num_kv_heads, S, cfg.head_dim),
+                   cfg.dtype)
+    mask = prefill_mask(B, T, S)
+    lx = jax.jit(lambda p: forward(p, cfg, toks, pos, kv, kv, jnp.int32(0),
+                                   mask))(q4)[0]
+    cfgk = replace(cfg, int4_impl="kernel_interpret")
+    lk = jax.jit(lambda p: forward(p, cfgk, toks, pos, kv, kv, jnp.int32(0),
+                                   mask))(q4)[0]
+    assert np.allclose(np.asarray(lx), np.asarray(lk), atol=1e-4, rtol=1e-4)
+
+
+def test_int4_kernel_engine_lossless_vs_own_ar():
+    """Fused engine with the int4 kernel path equals the block-AR oracle
+    sharing int4_impl (own-trajectory rule: kernel and XLA dequant round
+    differently, so the oracle must share the implementation)."""
+    from samd_tpu.engine import ArBaseline
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.models import init_params
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg = _kernel_cfg(int4_impl="kernel_interpret")
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    q4 = quantize_llama_params(params, dtype=jnp.int4)
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=128)
+    prompt = np.random.default_rng(7).integers(3, 512, size=12).tolist()
+    M = 8
+    ar = ArBaseline(cfg, q4, max_cache_len=128, eos_token_id=-1,
+                    prefill_buckets=(16,), block_size=M)
+    eng = FusedSamEngine(cfg, q4,
+                         FusedSamConfig(n_predicts=M - 1, steps_per_call=64,
+                                        corpus_capacity=256),
+                         max_cache_len=128, eos_token_id=-1,
+                         prefill_buckets=(16,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
