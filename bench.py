@@ -513,6 +513,62 @@ def main():
         log("int8 section FAILED:\n" + traceback.format_exc())
     em.emit()
 
+    # --- INT4 weight-only fused-sam (Pallas weight-streaming kernel) ------
+    # Packed nibbles (uint8 bytes, zero-point 8) unpacked in-register by
+    # ops/int4_matmul — true 0.5 bytes/weight HBM streaming (the S4-dtype
+    # platform block only forbids S4 *arrays*, not packed bytes).  Same
+    # own-trajectory methodology as int8: int4 matmuls flip near-tie
+    # argmaxes, so corpus + equality come from the int4 engine itself.
+    try:
+        from dataclasses import replace as _dcr
+
+        from samd_tpu.ops.quant import quantize_llama_params as _qlp
+
+        cfg4 = _dcr(cfg, int4_impl="kernel")
+        i4params = _qlp(params, dtype=jax.numpy.int4)
+        i4_probe = FusedSamEngine(cfg4, i4params, fscfg,
+                                  max_cache_len=MAX_CACHE, eos_token_id=-1,
+                                  prefill_buckets=(128,))
+        log("int4 fused-sam warmup/compile...")
+        i4_probe.generate(prompts[0][:64],
+                          GenerationConfig(max_new_tokens=4,
+                                           max_cache_len=MAX_CACHE))
+        i4_oracle = [i4_probe.generate(p, gen).output_ids
+                     for p in overlap_prompts]
+        i4_corpus = []
+        for o in i4_oracle:
+            i4_corpus += o + [0]
+        fs4 = FusedSamEngine(cfg4, i4params, fscfg, corpus=i4_corpus,
+                             max_cache_len=MAX_CACHE, eos_token_id=-1,
+                             prefill_buckets=(128,))
+        fs4.generate(prompts[0][:64],
+                     GenerationConfig(max_new_tokens=4,
+                                      max_cache_len=MAX_CACHE))
+        i4_outs, i4_tok, i4_steps, i4_dt = timed_generate(
+            fs4, all_prompts, gen)
+        i4_tps = i4_tok / i4_dt
+        i4_ms = 1000 * i4_dt / max(i4_steps, 1)
+        i4_equal = sum(int(a == b) for a, b in zip(i4_oracle, i4_outs[:2]))
+        log(f"int4 fused-sam (own oracle): {i4_tps:.1f} tok/s, "
+            f"accept {i4_tok / max(i4_steps, 1):.2f}, {i4_ms:.2f} ms/step, "
+            f"overlap trajectory equal {i4_equal}/2")
+        detail.update({
+            "int4_fused_sam_tokens_per_s": round(i4_tps, 2),
+            "int4_fused_sam_mean_accept":
+                round(i4_tok / max(i4_steps, 1), 3),
+            "int4_fused_sam_ms_per_step": round(i4_ms, 3),
+            "int4_fused_sam_overlap_trajectory_equal": i4_equal == 2,
+            "int4_vs_bf16_step_time_ratio": round(i4_ms / fs_ms, 3),
+        })
+        try:
+            detail["int4_vs_int8_step_time_ratio"] = round(i4_ms / q_ms, 3)
+        except NameError:
+            pass
+        del i4_probe, fs4, i4params
+    except Exception:
+        log("int4 section FAILED:\n" + traceback.format_exc())
+    em.emit()
+
     # --- 7B-class INT8: production scale on ONE chip ----------------------
     # bf16 7B (13.5 GB) does not fit a 16 GB v5e next to the bench's other
     # engines; int8 weight-only (6.8 GB) does — this is the quantization
@@ -589,6 +645,82 @@ def main():
     # 7B tree left alive would starve every later section of HBM
     params7 = ar7 = p7 = f7 = b7p = b7 = None
     import gc
+    gc.collect()
+    em.emit()
+
+    # --- 7B-class INT4: the weight-streaming kernel at real scale ---------
+    # The 7B decode step is weight-streaming-bound (docs/PERFORMANCE.md "7B
+    # step decomposition": ~9.7 ms of the int8 12.8 is the 6.6 GB stream);
+    # packed int4 (3.4 GB) halves it via the Pallas kernel.  Own int4 AR
+    # denominator + own-trajectory corpus (int4 numerics = own program).
+    params7q = ar7q = p7q = f7q = None
+    try:
+        from dataclasses import replace as _dcr
+
+        from samd_tpu.models import llama_7b as _l7b
+        from samd_tpu.ops.quant import init_quantized_llama_params as _iq
+
+        cfg7q = _dcr(_l7b(), int4_impl="kernel")
+        params7q = _iq(cfg7q, jax.random.PRNGKey(0), dtype=jax.numpy.int4)
+        ar7q = ArBaseline(cfg7q, params7q, max_cache_len=MAX_CACHE,
+                          eos_token_id=-1, prefill_buckets=(128,))
+        log("7B int4 AR warmup/compile...")
+        ar7q.generate(warm_prompt, warm)
+        _, a7q_tok, a7q_steps, a7q_dt = timed_generate(ar7q, all_prompts,
+                                                       gen)
+        a7q_tps = a7q_tok / a7q_dt
+        log(f"7B int4 AR: {a7q_tps:.1f} tok/s "
+            f"({1000 * a7q_dt / max(a7q_steps, 1):.1f} ms/step)")
+        # same 7B-tuned knobs as the int8 row (cache buckets + M=16)
+        fscfg7q = FusedSamConfig(steps_per_call=256, corpus_capacity=4096,
+                                 n_predicts=15,
+                                 cache_buckets=(256, 384, 512, 768))
+        p7q = FusedSamEngine(cfg7q, params7q, fscfg7q,
+                             max_cache_len=MAX_CACHE, eos_token_id=-1,
+                             prefill_buckets=(128,))
+        log("7B int4 fused-sam warmup/compile...")
+        p7q.generate(warm_prompt, warm)
+        o7q = [p7q.generate(p, gen).output_ids for p in overlap_prompts]
+        c7q = []
+        for o in o7q:
+            c7q += o + [0]
+        f7q = FusedSamEngine(cfg7q, params7q, fscfg7q, corpus=c7q,
+                             max_cache_len=MAX_CACHE, eos_token_id=-1,
+                             prefill_buckets=(128,))
+        f7q.generate(warm_prompt, warm)
+        f7q_outs, f7q_tok, f7q_steps, f7q_dt = timed_generate(
+            f7q, all_prompts, gen)
+        f7q_tps = f7q_tok / f7q_dt
+        f7q_equal = sum(int(a == b) for a, b in zip(o7q, f7q_outs[:2]))
+        log(f"7B int4 fused-sam: {f7q_tps:.1f} tok/s, accept "
+            f"{f7q_tok / max(f7q_steps, 1):.2f}, "
+            f"{1000 * f7q_dt / max(f7q_steps, 1):.2f} ms/step, "
+            f"equal {f7q_equal}/2, "
+            f"speedup {f7q_tps / a7q_tps:.2f}x vs own AR")
+        # ms/step is the comparable number vs the int8 row: the 4-bit RANDOM
+        # init is a different (and degenerate-leaning) model whose repetitive
+        # outputs retrieval drafts trivially — accept ran 4.65 vs int8's 1.88
+        # in r04, inflating tok/s.  Step time is workload-independent.
+        detail.update({
+            "int4_7b_ar_tokens_per_s": round(a7q_tps, 2),
+            "int4_7b_fused_sam_tokens_per_s": round(f7q_tps, 2),
+            "int4_7b_fused_sam_mean_accept":
+                round(f7q_tok / max(f7q_steps, 1), 3),
+            "int4_7b_fused_sam_ms_per_step":
+                round(1000 * f7q_dt / max(f7q_steps, 1), 3),
+            "int4_7b_fused_sam_speedup_vs_own_ar":
+                round(f7q_tps / a7q_tps, 4),
+            "int4_7b_fused_sam_overlap_trajectory_equal": f7q_equal == 2,
+        })
+        try:
+            detail["int4_7b_vs_int8_7b_step_time_ratio"] = round(
+                (1000 * f7q_dt / max(f7q_steps, 1))
+                / detail["int8_7b_fused_sam_ms_per_step"], 3)
+        except KeyError:
+            pass
+    except Exception:
+        log("7B int4 section FAILED:\n" + traceback.format_exc())
+    params7q = ar7q = p7q = f7q = None
     gc.collect()
     em.emit()
 

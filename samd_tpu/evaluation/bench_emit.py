@@ -32,28 +32,34 @@ MAX_LINE = 1800  # < the driver's 2000-char tail capture, with margin
 # round-3 additions (paged fused batched, near-tie audit, sampling modes).
 # Everything else lives in the detail file only.
 HEADLINE_KEYS = (
+    # ar_ms_per_step and fused_sam_speedup are detail-only: the former is
+    # derivable from ar_tokens_per_s, the latter duplicates the top-level
+    # "value" field on the same line
     "ar_tokens_per_s",
-    "ar_ms_per_step",
     "host_sam_only_speedup",
     "greedy_outputs_equal",
     "fused_sam_tokens_per_s",
-    "fused_sam_speedup",
     "fused_sam_mean_accept",
     "fused_sam_ms_per_step",
     "fused_sam_overlap_trajectory_equal",
     "int8_fused_sam_tokens_per_s",
     "int8_fused_sam_ms_per_step",
     "int8_vs_bf16_step_time_ratio",
+    "int4_fused_sam_tokens_per_s",
+    "int4_fused_sam_ms_per_step",
+    "int4_vs_int8_step_time_ratio",
     "int8_batched_peak_tokens_per_s",
-    "int8_batched_peak_mean_accept",
     "int8_batched_hybrid_peak_tokens_per_s",
     "paged_fused_batched_tokens_per_s",
     "paged_fused_batched_vs_dense_ratio",
     "paged_int8kv_fused_batched_tokens_per_s",
-    "paged_int8kv_capacity_slots",
     "int8_7b_ar_tokens_per_s",
     "int8_7b_fused_sam_tokens_per_s",
     "int8_7b_fused_sam_ms_per_step",
+    # the int4 7B row reports ms/step, not tok/s: the 4-bit random init is
+    # a different model whose degenerate outputs inflate retrieval accept
+    "int4_7b_fused_sam_ms_per_step",
+    "int4_7b_vs_int8_7b_step_time_ratio",
     "fused_sam_token_recycle_tokens_per_s",
     "fused_sam_token_recycle_mean_accept",
     "fused_sam_token_recycle_equal_count",
@@ -63,8 +69,9 @@ HEADLINE_KEYS = (
     "fused_sam_eagle2_equal_count",
     "int8_fused_eagle2_tokens_per_s",
     "flagship_ttft_ms",
-    "fused_sam_typical_ms_per_step",
-    "fused_sam_nucleus_ms_per_step",
+    # typical/nucleus ms/step + the int8-page capacity string moved to the
+    # detail file in round 4 to make headline room for the int4 rows (they
+    # are archived in BENCH_r03.json and unchanged by round-4 work)
     "trained_accept_eagle2",
     "trained_accept_token_recycle",
     "longcache8k_flash_vs_xla_ratio",

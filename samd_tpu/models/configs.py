@@ -74,6 +74,13 @@ class ModelConfig:
     # (scripts/profile_int4.py)
     int4_block_n: int = 1024
     int4_block_k: int = 2048
+    # int4 kernel unpack-arithmetic variant (ops/int4_matmul._KERNELS):
+    # "v2-sum" recovers the hi nibble in output space — one fewer
+    # full-width VPU op per packed byte than v1's shift form; measured
+    # faster at both microbench and 7B-forward scale
+    # (scripts/profile_int4_kernel.py).  Engines + oracles share it via
+    # this config (the variants round differently — own-trajectory rule).
+    int4_variant: str = "v2-sum"
     # INT8 KV cache (cache.QuantizedKV): int8 values + one fp32 scale per
     # (token, kv-head).  Halves KV footprint; trajectories differ from the
     # bf16 cache's (near-tie argmaxes), so greedy-equality oracles must

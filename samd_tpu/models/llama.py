@@ -303,7 +303,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             return int4_matmul(x, t.packed, t.scale, lidx,
                                block_n=cfg.int4_block_n,
                                block_k=cfg.int4_block_k,
-                               interpret=int4_interp)
+                               interpret=int4_interp,
+                               variant=cfg.int4_variant)
         return qmatmul(x, lp[name])
 
     def layer_step(carry, xs):
@@ -366,7 +367,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
                              out_dtype=jnp.float32,
                              block_n=cfg.int4_block_n,
                              block_k=cfg.int4_block_k,
-                             interpret=int4_interp)
+                             interpret=int4_interp,
+                             variant=cfg.int4_variant)
     else:
         logits = jnp.dot(h, dequant(head, h.dtype),
                          preferred_element_type=jnp.float32)

@@ -47,7 +47,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(l_ref, x_ref, p_ref, s_ref, o_ref):
+def _accumulate(k, nk, o_ref, s_ref, ye, yo, bias):
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[0, :, :] = o_ref[0, :, :] + (ye - bias)
+    o_ref[1, :, :] = o_ref[1, :, :] + (yo - bias)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = o_ref[:] * s_ref[0][:, None, :]
+
+
+def _kernel_shift(l_ref, x_ref, p_ref, s_ref, o_ref):
     """x_ref: [R, bk] bf16; p_ref: [1, bk, bnh] uint8 (halves-packed);
     s_ref: [1, 2, bnh] f32; o_ref: [2, R, bnh] f32 (revisited over k)."""
     k = pl.program_id(1)
@@ -69,17 +82,74 @@ def _kernel(l_ref, x_ref, p_ref, s_ref, o_ref):
     ye = jnp.dot(x, lo, preferred_element_type=jnp.float32)
     yo = jnp.dot(x, hi, preferred_element_type=jnp.float32)
     bias = 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    _accumulate(k, nk, o_ref, s_ref, ye, yo, bias)
 
-    @pl.when(k == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[0, :, :] = o_ref[0, :, :] + (ye - bias)
-    o_ref[1, :, :] = o_ref[1, :, :] + (yo - bias)
+def _kernel_sum(l_ref, x_ref, p_ref, s_ref, o_ref):
+    """Output-space hi-nibble recovery: byte p = lo + 16·hi exactly, and
+    0..255 is exactly representable in bf16, so ``dot(x, p_bf16)`` equals
+    ``dot(x, lo) + 16·dot(x, hi)`` up to f32 accumulation rounding — the
+    hi half is ``(dot_p - dot_lo)/16`` computed on the [R, bnh] OUTPUT
+    block.  Per-byte full-width work drops from 5 vector ops (v1: i32
+    widen, mask, shift, two bf16 converts) to 4 (widen, one mask, two
+    converts — Mosaic has no u8->bf16 cast, so the widen stays)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    p32 = p_ref[0].astype(jnp.int32)
+    lof = (p32 & 15).astype(x_ref.dtype)
+    pf = p32.astype(x_ref.dtype)
+    x = x_ref[:]
+    ye = jnp.dot(x, lof, preferred_element_type=jnp.float32)
+    yp = jnp.dot(x, pf, preferred_element_type=jnp.float32)
+    yo = (yp - ye) * 0.0625
+    bias = 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    _accumulate(k, nk, o_ref, s_ref, ye, yo, bias)
 
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = o_ref[:] * s_ref[0][:, None, :]
+
+def _kernel_himask(l_ref, x_ref, p_ref, s_ref, o_ref):
+    """Mask-only unpack: hi·16 = p & 0xF0 (the /16 rides the output block).
+    Same op count as v1 unless Mosaic lowers masks cheaper than shifts."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    p32 = p_ref[0].astype(jnp.int32)
+    lo = (p32 & 15).astype(x_ref.dtype)
+    hi16 = (p32 & 0xF0).astype(x_ref.dtype)
+    x = x_ref[:]
+    ye = jnp.dot(x, lo, preferred_element_type=jnp.float32)
+    yo = jnp.dot(x, hi16, preferred_element_type=jnp.float32) * 0.0625
+    bias = 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    _accumulate(k, nk, o_ref, s_ref, ye, yo, bias)
+
+
+def _kernel_sum16(l_ref, x_ref, p_ref, s_ref, o_ref):
+    """v2's output-space trick with the widen+mask in i16 (2-byte lanes pack
+    2x the values per vreg of the i32 forms) — wins iff Mosaic legalizes
+    u8->i16, i16 masks and i16->bf16 on this target."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    p16 = p_ref[0].astype(jnp.int16)
+    lof = (p16 & jnp.int16(15)).astype(x_ref.dtype)
+    pf = p16.astype(x_ref.dtype)
+    x = x_ref[:]
+    ye = jnp.dot(x, lof, preferred_element_type=jnp.float32)
+    yp = jnp.dot(x, pf, preferred_element_type=jnp.float32)
+    yo = (yp - ye) * 0.0625
+    bias = 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    _accumulate(k, nk, o_ref, s_ref, ye, yo, bias)
+
+
+_KERNELS = {
+    "v1-shift": _kernel_shift,
+    "v2-sum": _kernel_sum,
+    "v3-himask": _kernel_himask,
+    "v4-sum16": _kernel_sum16,
+}
+
+# v2-sum is fastest on the v5e: 11% on the isolated 7B gate-matmul stream,
+# ~1.6% on the full 7B forward (11.01 vs 11.19 ms/step) — the unpack is no
+# longer the step bottleneck once the output-space form removes one wide op
+# (scripts/profile_int4_kernel.py / profile_int4.py --variants).
+DEFAULT_VARIANT = "v2-sum"
 
 
 def _pick_bk(in_dim: int, block_k: int) -> int:
@@ -93,10 +163,12 @@ def _pick_bk(in_dim: int, block_k: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_n", "block_k", "interpret"))
+                   static_argnames=("block_n", "block_k", "interpret",
+                                    "variant"))
 def _int4_matmul_stacked(x2: jax.Array, packed: jax.Array, scale2: jax.Array,
                          layer: jax.Array, *, block_n: int = 1024,
-                         block_k: int = 2048, interpret: bool = False):
+                         block_k: int = 2048, interpret: bool = False,
+                         variant: str = DEFAULT_VARIANT):
     """x2: [R, in] bf16; packed: [L, in, outh] uint8; scale2: [L, 2, outh]
     f32; layer: int32 scalar.  Returns [2, R, outh] f32."""
     R, IN = x2.shape
@@ -122,7 +194,7 @@ def _int4_matmul_stacked(x2: jax.Array, packed: jax.Array, scale2: jax.Array,
         out_specs=pl.BlockSpec((2, R, bn), lambda j, k, l: (0, 0, j)),
     )
     return pl.pallas_call(
-        _kernel,
+        _KERNELS[variant],
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, R, OUTH), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -137,7 +209,8 @@ def _int4_matmul_stacked(x2: jax.Array, packed: jax.Array, scale2: jax.Array,
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
                 layer=None, *, out_dtype=None, block_n: int = 1024,
-                block_k: int = 2048, interpret: bool = False) -> jax.Array:
+                block_k: int = 2048, interpret: bool = False,
+                variant: str = DEFAULT_VARIANT) -> jax.Array:
     """``x @ dequant(int4)`` with true 0.5-byte/weight HBM streaming.
 
     Args:
@@ -164,6 +237,7 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
     x2 = x.reshape(R, IN)
     scale2 = scale.reshape(L, 2, OUTH)
     y2 = _int4_matmul_stacked(x2, packed, scale2, layer, block_n=block_n,
-                              block_k=block_k, interpret=interpret)
+                              block_k=block_k, interpret=interpret,
+                              variant=variant)
     y = jnp.concatenate([y2[0], y2[1]], axis=-1)
     return y.reshape(*lead, 2 * OUTH).astype(out_dtype or x.dtype)

@@ -68,6 +68,40 @@ def greedy_accept(logits: jax.Array, draft_tokens: jax.Array,
     )
 
 
+def _top_p_threshold(logits: jax.Array, top_p: float) -> jax.Array:
+    """Smallest KEPT logit of the nucleus (the minimal top set whose
+    probability mass reaches ``top_p``), per row — WITHOUT the [M, V] sort +
+    cumsum the textbook form pays (measured ~2 ms/step at [60, 32k] on v5e).
+
+    Bisection on the probability cut: mass(probs >= t) is monotone in t, so
+    ~30 halvings bracket the minimal cut, and the returned threshold snaps
+    to an actual logit value (min logit of the kept set), which makes the
+    result tie-inclusive exactly like the sorted form.  Near-ties closer
+    than the bisection's terminal bracket (~pmax/2^30) may keep one tie
+    group more than the sorted form — same acceptance class as the bf16
+    near-tie caveat (docs/EXACTNESS.md)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    lo = jnp.zeros(probs.shape[:-1] + (1,), probs.dtype)   # mass(>=0) = 1
+    hi = jnp.max(probs, axis=-1, keepdims=True)            # keep argmax only
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1,
+                       keepdims=True)
+        ok = mass >= top_p                      # cut can rise to mid
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    # invariant: mass(probs >= lo) >= top_p > mass(probs >= hi) — except
+    # when the argmax alone reaches top_p, where hi itself is the answer
+    pmax_ok = jnp.sum(jnp.where(probs >= hi, probs, 0.0), axis=-1,
+                      keepdims=True) >= top_p
+    lo, _ = jax.lax.fori_loop(0, 30, body, (lo, hi))
+    cut = jnp.where(pmax_ok, hi, lo)
+    return jnp.min(jnp.where(probs >= cut, logits, jnp.inf), axis=-1,
+                   keepdims=True)
+
+
 def _process_logits(logits: jax.Array, temperature: float, top_p: float,
                     top_k: int) -> jax.Array:
     """Temperature / top-k / top-p warping (order follows the reference's
@@ -76,17 +110,17 @@ def _process_logits(logits: jax.Array, temperature: float, top_p: float,
     if temperature >= 1e-5 and temperature != 1.0:
         logits = logits / temperature
     if 1e-8 <= top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep smallest set with cumulative prob >= top_p (always keep best)
-        cutoff_mask = cum - probs >= top_p
-        threshold = jnp.min(
-            jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1,
-            keepdims=True)
+        # keep the smallest set with cumulative prob >= top_p (a token is
+        # KEPT iff the mass strictly before it is < top_p, so the best token
+        # always survives) — round-4 fixes: the threshold used to take the
+        # smallest CUT logit (the global min), making the warp a no-op; and
+        # the sort+cumsum form is replaced by sort-free bisection
+        threshold = _top_p_threshold(logits, top_p)
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
     if top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        # lax.top_k's partial selection beats the full [M, V] sort; the kth
+        # value is identical, and `<` keeps boundary ties exactly as before
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     return logits
 

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--n-pages", type=int, default=0,
                     help="0 = sized from B (4 pages/slot + slack)")
     ap.add_argument("--quant-kv", action="store_true")
+    ap.add_argument("--quantize", default="int8", choices=("int8", "int4"),
+                    help="weight dtype; int4 routes the batched forward "
+                         "through the weight-streaming Pallas kernel")
     ap.add_argument("--model", default="7b", choices=("1b", "7b"),
                     help="1b reproduces the bench's paged-peak row shape")
     args = ap.parse_args()
@@ -43,7 +46,14 @@ def main():
     from samd_tpu.ops.quant import init_quantized_llama_params
 
     cfg7 = llama_7b() if args.model == "7b" else llama_1b()
-    params7 = init_quantized_llama_params(cfg7, jax.random.PRNGKey(0))
+    if args.quantize == "int4":
+        import jax.numpy as jnp
+        from dataclasses import replace
+        cfg7 = replace(cfg7, int4_impl="kernel")
+        params7 = init_quantized_llama_params(cfg7, jax.random.PRNGKey(0),
+                                              dtype=jnp.int4)
+    else:
+        params7 = init_quantized_llama_params(cfg7, jax.random.PRNGKey(0))
     B, M = args.b, args.m
     n_pages = args.n_pages or (4 * B + 8)
     MAX_CACHE, NEW = 1024, 128
@@ -85,7 +95,8 @@ def main():
         if best is None or tok / dt > best[0]:
             best = (tok / dt, tok, steps, dt)
     tps, tok, steps, dt = best
-    print(f"{args.model} paged{' int8-KV' if args.quant_kv else ''} "
+    print(f"{args.model} {args.quantize} "
+          f"paged{' int8-KV' if args.quant_kv else ''} "
           f"batched fused-sam "
           f"(B={B} M={M}, {n_pages} pages): {tok} tokens in {dt:.2f}s = "
           f"{tps:.1f} tok/s, accept {tok/max(steps,1):.2f}, "

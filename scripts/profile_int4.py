@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--blocks", default="512x512",
                     help="int4-kernel tile sweep: comma-separated KxN pairs "
                          "(e.g. 512x512,1024x512,1024x1024)")
+    ap.add_argument("--variants", default="v2-sum",
+                    help="int4-kernel unpack variants (comma-separated; "
+                         "see ops/int4_matmul._KERNELS)")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
@@ -120,12 +123,14 @@ def main():
     if "int4-xla" not in skip:
         variants.append(("int4-xla", cfg0, jnp.int4, 0.5))
     if "int4-kernel" not in skip:
-        for pair in args.blocks.split(","):
-            bk, bn = (int(v) for v in pair.split("x"))
-            variants.append((f"int4-kernel {bk}x{bn}",
-                             replace(cfg0, int4_impl="kernel",
-                                     int4_block_k=bk, int4_block_n=bn),
-                             jnp.int4, 0.5))
+        for kv in args.variants.split(","):
+            for pair in args.blocks.split(","):
+                bk, bn = (int(v) for v in pair.split("x"))
+                variants.append((f"int4-kernel {kv} {bk}x{bn}",
+                                 replace(cfg0, int4_impl="kernel",
+                                         int4_block_k=bk, int4_block_n=bn,
+                                         int4_variant=kv),
+                                 jnp.int4, 0.5))
 
     print(f"model={args.model} M={M} S={S} K={K}")
     for name, cfg, qdtype, wbytes in variants:

@@ -33,6 +33,30 @@ def peaked_logits(rows, peak_ids, scale=8.0):
     return jnp.asarray(x)
 
 
+def test_top_p_warp_matches_reference_semantics():
+    """The top-p warp keeps exactly the smallest set of top tokens whose
+    cumulative probability reaches top_p (HF TopPLogitsWarper semantics,
+    reference evaluation/model/token_recycle/utils.py:245-260).  Regression:
+    the round-3 threshold picked the smallest CUT logit (the global min),
+    making the warp a no-op — every token stayed in the nucleus."""
+    from samd_tpu.verify import _process_logits
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(5, 50)).astype(np.float32) * 3
+    for top_p in (0.3, 0.9):
+        out = np.asarray(_process_logits(jnp.asarray(logits), 1.0, top_p, 0))
+        for r in range(len(logits)):
+            row = logits[r]
+            idx = np.argsort(-row)
+            pr = np.exp(row[idx] - row[idx].max())
+            pr /= pr.sum()
+            keep = (np.cumsum(pr) - pr) < top_p   # preceding mass < p
+            expect = np.full_like(row, -np.inf)
+            expect[idx[keep]] = row[idx[keep]]
+            assert np.allclose(out[r], expect), (top_p, r)
+            assert np.isfinite(out[r]).sum() == keep.sum()
+
+
 # ---------------------------------------------------------------------------
 # typical acceptance
 # ---------------------------------------------------------------------------

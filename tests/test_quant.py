@@ -318,6 +318,28 @@ def test_int4_kernel_matches_xla_dequant():
         assert np.allclose(got, ref, atol=1e-4, rtol=1e-4), layer
 
 
+def test_int4_kernel_variants_agree():
+    """All unpack-arithmetic variants (v1 shift, v2 output-space sum, v3
+    hi-mask) compute the same matmul: v2 recovers the hi nibble as
+    (dot(x,p) - dot(x,lo))/16 on the output block — exact because bytes
+    0..255 are exactly representable and products accumulate in f32."""
+    from samd_tpu.ops.int4_matmul import _KERNELS, int4_matmul
+    from samd_tpu.ops.quant import quantize_weight4
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(k1, (8, 512)).astype(jnp.float32)
+    qt = quantize_weight4(jax.random.normal(k2, (512, 256)))
+    outs = {v: np.asarray(int4_matmul(x, qt.packed, qt.scale,
+                                      interpret=True, variant=v))
+            for v in _KERNELS}
+    ref = outs.pop("v1-shift")
+    for v, got in outs.items():
+        # v2/v4 recover yo by subtracting two f32-accumulated sums, so the
+        # agreement bound is relative to the SUM magnitudes, not elementwise
+        err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-9)
+        assert err < 1e-4, (v, err)
+
+
 def test_int4_kernel_forward_matches_xla_path():
     """forward() with int4_impl="kernel_interpret" matches the XLA dequant
     path (fp32 activations: the two dequant orders agree to float rounding)."""
