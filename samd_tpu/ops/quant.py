@@ -129,8 +129,10 @@ def quantize_weight4(w: jax.Array, *, axis: int = -2) -> Int4Tensor:
 
 
 def _deq4(w: Int4Tensor, dtype) -> jax.Array:
-    """Pre-dequant XLA form for Int4Tensor: two sign-extending shifts and a
-    trailing-axis concat (halves layout — no interleave).  This is the
+    """Pre-dequant XLA form for Int4Tensor: unpack the two zero-point-8
+    UNSIGNED nibbles (mask / shift, then subtract 8 — matching
+    quantize_weight4's packing) and concat the halves on the trailing axis
+    (halves layout — no interleave).  This is the
     fallback for consumers the Pallas kernel doesn't serve (CPU tests, MoE
     expert einsums); its dot-operand fusion reads each byte once per nibble,
     i.e. int8-parity HBM traffic at half the at-rest footprint.  The hot

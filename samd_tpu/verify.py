@@ -74,12 +74,20 @@ def _top_p_threshold(logits: jax.Array, top_p: float) -> jax.Array:
     cumsum the textbook form pays (measured ~2 ms/step at [60, 32k] on v5e).
 
     Bisection on the probability cut: mass(probs >= t) is monotone in t, so
-    ~30 halvings bracket the minimal cut, and the returned threshold snaps
-    to an actual logit value (min logit of the kept set), which makes the
-    result tie-inclusive exactly like the sorted form.  Near-ties closer
-    than the bisection's terminal bracket (~pmax/2^30) may keep one tie
-    group more than the sorted form — same acceptance class as the bf16
-    near-tie caveat (docs/EXACTNESS.md)."""
+    repeated halving brackets the minimal cut, and the returned threshold
+    snaps to an actual logit value (min logit of the kept set), which makes
+    the result tie-inclusive exactly like the sorted form.  The bracket
+    arithmetic runs in f32, so the bisection stalls once ``hi - lo``
+    reaches f32 epsilon around the cut (~pmax·2^-24) — 24 iterations
+    saturate it (more would be no-ops).  Near-ties inside that terminal
+    bracket may keep one tie group more than the sorted form — same
+    acceptance class as the bf16 near-tie caveat (docs/EXACTNESS.md).
+
+    Boundary semantics match the reference exactly (token_recycle/
+    utils.py:152-154: remove iff cumulative mass BEFORE the token exceeds
+    top_p): a token whose preceding mass EQUALS top_p is KEPT, i.e. the
+    kept set is the smallest top set whose mass strictly exceeds top_p —
+    hence the strict ``>`` comparisons below."""
     probs = jax.nn.softmax(logits, axis=-1)
     lo = jnp.zeros(probs.shape[:-1] + (1,), probs.dtype)   # mass(>=0) = 1
     hi = jnp.max(probs, axis=-1, keepdims=True)            # keep argmax only
@@ -89,14 +97,14 @@ def _top_p_threshold(logits: jax.Array, top_p: float) -> jax.Array:
         mid = 0.5 * (lo + hi)
         mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1,
                        keepdims=True)
-        ok = mass >= top_p                      # cut can rise to mid
+        ok = mass > top_p                       # cut can rise to mid
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
-    # invariant: mass(probs >= lo) >= top_p > mass(probs >= hi) — except
-    # when the argmax alone reaches top_p, where hi itself is the answer
+    # invariant: mass(probs >= lo) > top_p >= mass(probs >= hi) — except
+    # when the argmax alone exceeds top_p, where hi itself is the answer
     pmax_ok = jnp.sum(jnp.where(probs >= hi, probs, 0.0), axis=-1,
-                      keepdims=True) >= top_p
-    lo, _ = jax.lax.fori_loop(0, 30, body, (lo, hi))
+                      keepdims=True) > top_p
+    lo, _ = jax.lax.fori_loop(0, 24, body, (lo, hi))
     cut = jnp.where(pmax_ok, hi, lo)
     return jnp.min(jnp.where(probs >= cut, logits, jnp.inf), axis=-1,
                    keepdims=True)
@@ -110,9 +118,10 @@ def _process_logits(logits: jax.Array, temperature: float, top_p: float,
     if temperature >= 1e-5 and temperature != 1.0:
         logits = logits / temperature
     if 1e-8 <= top_p < 1.0:
-        # keep the smallest set with cumulative prob >= top_p (a token is
-        # KEPT iff the mass strictly before it is < top_p, so the best token
-        # always survives) — round-4 fixes: the threshold used to take the
+        # keep the smallest set whose cumulative prob EXCEEDS top_p (a
+        # token is KEPT iff the mass strictly before it is <= top_p, so the
+        # best token always survives — the reference's remove-then-shift
+        # semantics) — round-4 fixes: the threshold used to take the
         # smallest CUT logit (the global min), making the warp a no-op; and
         # the sort+cumsum form is replaced by sort-free bisection
         threshold = _top_p_threshold(logits, top_p)

@@ -148,9 +148,12 @@ def main():
               f"{gbps:6.1f} GB/s effective)")
         del params
 
-    if "int8" in results and "int4-kernel" in results:
-        print(f"int4-kernel / int8 step-time ratio: "
-              f"{results['int4-kernel'] / results['int8']:.3f}")
+    kernel_times = {k: v for k, v in results.items()
+                    if k.startswith("int4-kernel")}
+    if "int8" in results and kernel_times:
+        best_name = min(kernel_times, key=kernel_times.get)
+        print(f"best int4-kernel ({best_name}) / int8 step-time ratio: "
+              f"{kernel_times[best_name] / results['int8']:.3f}")
 
 
 if __name__ == "__main__":

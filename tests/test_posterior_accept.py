@@ -50,7 +50,9 @@ def test_top_p_warp_matches_reference_semantics():
             idx = np.argsort(-row)
             pr = np.exp(row[idx] - row[idx].max())
             pr /= pr.sum()
-            keep = (np.cumsum(pr) - pr) < top_p   # preceding mass < p
+            # keep iff preceding mass <= top_p (reference remove-then-shift
+            # semantics; a token whose preceding mass EQUALS top_p stays)
+            keep = (np.cumsum(pr) - pr) <= top_p
             expect = np.full_like(row, -np.inf)
             expect[idx[keep]] = row[idx[keep]]
             assert np.allclose(out[r], expect), (top_p, r)
