@@ -33,6 +33,7 @@ from .engine import HARVEST_TOPK, Outputs, StepStats, _bucket
 from .models.configs import ModelConfig
 from .models.llama import Params, block_decode_mask, forward, prefill_mask
 from .ops.treeops import pack_draft_host, unpack_draft
+from .streaming import ProgressStreamMixin
 from .verify import greedy_accept, make_accept_fn
 
 
@@ -56,7 +57,7 @@ class _Slot:
         return self.request_id is not None
 
 
-class BatchedSamdEngine:
+class BatchedSamdEngine(ProgressStreamMixin):
     def __init__(self, model_cfg: ModelConfig, params: Params,
                  samd_cfg: SamdConfig,
                  drafter_factory: Callable[[], Drafter], *,
@@ -257,6 +258,7 @@ class BatchedSamdEngine:
         out = s.output[:s.prompt_len + s.max_new_tokens]
         self.results[s.request_id] = Outputs(
             out, s.decode_tokens, s.decode_steps, s.accept_lens)
+        self._stream_done(s.request_id)
         self.slots[slot_idx] = _Slot()
 
     def _sampling_inputs(self):
@@ -338,6 +340,7 @@ class BatchedSamdEngine:
                 s.drafter.observe_verify(drafts[i, 0], topk_np[i],
                                          d.num_nodes)
             self.stats.record(d.source, len(accepted))
+            self._emit_stream_chunk(s.request_id, accepted, s.max_new_tokens)
             s.output.extend(accepted)
             s.cache_len += accept_len
             s.decode_steps += 1

@@ -37,6 +37,7 @@ from .models.configs import ModelConfig
 from .models.llama import Params, block_decode_mask, forward, prefill_mask
 from .ops.treeops import unpack_draft
 from .sam.trees import node_depths
+from .streaming import ProgressStreamMixin
 from .verify import greedy_accept
 
 
@@ -364,7 +365,7 @@ class FusedHybridEngine:
 # Batched fused hybrid: continuous batching × SAM[Token Recycle]
 # ----------------------------------------------------------------------
 
-class BatchedFusedHybridEngine:
+class BatchedFusedHybridEngine(ProgressStreamMixin):
     """B request slots × SAM[Token Recycle] stepped inside one fused device
     loop — the flagship hybrid drafter under continuous batching.
 
@@ -869,6 +870,7 @@ class BatchedFusedHybridEngine:
             keys = np.ascontiguousarray(ctrl_np[6:8].T).view(np.uint32)
             self._post_segment(int(steps_arr[actives].sum())
                                if actives.any() else 0)
+            self._emit_stream_progress(actives, hist_lens)
             hist_np = None
             for i in range(B):
                 if not actives[i]:
@@ -891,6 +893,7 @@ class BatchedFusedHybridEngine:
                 self.results[self._slot_req[i]] = Outputs(
                     ids[:plen] + gen_part, len(gen_part),
                     self._slot_steps[i], [])
+                self._stream_done(self._slot_req[i])
                 actives[i] = False
                 self._slot_req[i] = None
                 slot_sigs[i] = None

@@ -42,6 +42,7 @@ from .config import GenerationConfig
 from .engine import Outputs, _bucket
 from .models.configs import ModelConfig
 from .models.llama import Params, block_decode_mask, forward, prefill_mask
+from .streaming import ProgressStreamMixin
 
 
 @dataclass(frozen=True)
@@ -442,14 +443,15 @@ class FusedSamEngine:
 # Batched fused serving: continuous batching × device-resident retrieval
 # ----------------------------------------------------------------------
 
-class BatchedFusedSamEngine:
+class BatchedFusedSamEngine(ProgressStreamMixin):
     """B request slots stepped together inside one fused device loop.
 
     Combines samd_tpu.batching's slot scheduler with the fused retrieval
     loop: per segment (up to ``steps_per_call`` iterations) every active slot
     drafts from its own history + the shared corpus, verifies and commits —
     all on device.  Host work per segment: admit/finish slots and read back
-    [B] scalars + finished histories."""
+    [B] scalars + finished histories.  Per-request progress streaming via
+    ``progress_listeners`` (streaming.ProgressStreamMixin; SSE serving)."""
 
     def __init__(self, model_cfg: ModelConfig, params: Params,
                  fs_cfg: Optional[FusedSamConfig] = None, *,
@@ -851,6 +853,7 @@ class BatchedFusedSamEngine:
             keys = np.ascontiguousarray(ctrl_np[5:7].T).view(np.uint32)
             self._post_segment(int(steps_arr[actives].sum())
                                if actives.any() else 0)
+            self._emit_stream_progress(actives, hist_lens)
             hist_np = None
             for i in range(B):
                 if not actives[i]:
@@ -873,6 +876,7 @@ class BatchedFusedSamEngine:
                 self.results[self._slot_req[i]] = Outputs(
                     ids[:plen] + gen_part, len(gen_part),
                     self._slot_steps[i], [])
+                self._stream_done(self._slot_req[i])
                 actives[i] = False
                 self._slot_req[i] = None
                 slot_sigs[i] = None

@@ -15,6 +15,11 @@ dispatch happens from that thread; HTTP threads never touch device state).
                          "temperature": 0.0, ...}
                         -> {"request_id", "output_ids", "new_tokens",
                             "decode_steps", "wall_ms"}
+        POST /generate  {"stream": true, ...} (or /generate?stream=1)
+                        -> Server-Sent Events: one ``data: {"tokens":
+                           [...]}`` event per committed chunk (segment
+                           granularity, streaming.ProgressStreamMixin),
+                           then ``data: {"done": true, ...summary}``
         GET  /health    -> {"status": "ok", ...queue/slot counters}
 
 Batch-wide constraint (engine-level): concurrent *sampling* requests must
@@ -28,6 +33,7 @@ fastapi/uvicorn; see repo environment notes).
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -54,6 +60,7 @@ class Scheduler:
         self._submitted = 0
         self._outstanding: set = set()
         self._results: dict = {}
+        self._stream_queues: dict = {}   # rid -> queue.Queue of events
         self._active_sig: Optional[tuple] = None
         self._driver = threading.Thread(target=self._drive, daemon=True)
         self._driver.start()
@@ -78,6 +85,41 @@ class Scheduler:
             self._outstanding.add(rid)
         self._work.set()
         return rid
+
+    def submit_stream(self, input_ids: Sequence[int],
+                      gen: Optional[GenerationConfig] = None):
+        """Enqueue a request with progress streaming; returns
+        ``(rid, events)`` where ``events`` is a ``queue.Queue`` yielding
+        ``("tokens", [ids])`` per committed chunk and a terminal
+        ``("done", Outputs)`` / ``("error", Exception)``.
+
+        Requires an engine with ``progress_listeners``
+        (streaming.ProgressStreamMixin — all batched engines)."""
+        if not hasattr(self.engine, "progress_listeners"):
+            raise ValueError("engine does not support progress streaming")
+        gen = gen or GenerationConfig()
+        events: queue.Queue = queue.Queue()
+        with self._lock:
+            if not gen.greedy:
+                sig = gen.sampling_signature
+                if self._active_sig is not None and sig != self._active_sig:
+                    raise ValueError(
+                        "concurrent sampling requests must share one "
+                        "sampling signature")
+                self._active_sig = sig
+            # the listener must exist BEFORE the driver can admit the
+            # request; every add_request goes through this lock, so the
+            # engine's next id is stable across the two calls
+            rid_pred = self.engine._next_id
+            self.engine.progress_listeners[rid_pred] = (
+                lambda chunk: events.put(("tokens", chunk)))
+            rid = self.engine.add_request(list(input_ids), gen)
+            assert rid == rid_pred
+            self._stream_queues[rid] = events
+            self._submitted += 1
+            self._outstanding.add(rid)
+        self._work.set()
+        return rid, events
 
     def result(self, rid: int, timeout: Optional[float] = None):
         """Block until request `rid` finishes; returns its Outputs.
@@ -139,10 +181,32 @@ class Scheduler:
                     with self._lock:
                         for rid in self._outstanding:
                             self._results.setdefault(rid, e)
+                self._notify_streams()
             with self._lock:
                 self._outstanding -= set(self._results)
                 if not self.engine.queue and not self._outstanding:
                     self._active_sig = None
+
+    def _notify_streams(self):
+        """Terminal events + listener cleanup for finished streaming
+        requests (tokens chunks were already pushed mid-run by the
+        engine's listener; SSE handlers additionally poll ``try_result``
+        so early finishers do not wait for the batch to drain)."""
+        with self._lock:
+            done = [rid for rid in self._stream_queues if rid in self._results]
+            for rid in done:
+                events = self._stream_queues.pop(rid)
+                self.engine.progress_listeners.pop(rid, None)
+                out = self._results[rid]
+                events.put(("error", out) if isinstance(out, Exception)
+                           else ("done", out))
+
+    def try_result(self, rid: int):
+        """Non-blocking result peek (engine-mid-run results included)."""
+        out = self._results.get(rid)
+        if out is None:
+            out = self.engine.results.get(rid)
+        return out
 
 
 def _gen_from_json(d: dict) -> GenerationConfig:
@@ -178,7 +242,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
-        if self.path != "/generate":
+        path, _, query = self.path.partition("?")
+        if path != "/generate":
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -193,7 +258,11 @@ class _Handler(BaseHTTPRequestHandler):
                 json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
+        stream = bool(req.get("stream")) or "stream=1" in query
         t0 = time.perf_counter()
+        if stream:
+            self._stream_generate(ids, gen, req, t0)
+            return
         try:
             rid = self.scheduler.submit(ids, gen)
         except ValueError as e:  # sampling-signature conflict
@@ -210,6 +279,70 @@ class _Handler(BaseHTTPRequestHandler):
             "decode_steps": out.decode_steps,
             "wall_ms": round((time.perf_counter() - t0) * 1e3, 2),
         })
+
+    def _stream_generate(self, ids, gen, req, t0):
+        """Server-Sent Events response: one ``data:`` JSON event per
+        committed chunk, then a terminal ``{"done": true, ...}`` event.
+        HTTP/1.0 connection-close framing (no chunked encoding needed)."""
+        import queue as _q
+
+        try:
+            rid, events = self.scheduler.submit_stream(ids, gen)
+        except ValueError as e:
+            self._reply(400, {"error": str(e)})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+
+        def emit(obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        deadline = time.monotonic() + req.get("timeout_s", 600)
+        try:
+            while True:
+                try:
+                    kind, payload = events.get(timeout=0.05)
+                except _q.Empty:
+                    # early finishers surface in engine.results mid-run,
+                    # before the driver's terminal event — all chunks are
+                    # already queued by then (same thread ordering)
+                    out = self.scheduler.try_result(rid)
+                    if out is None:
+                        if time.monotonic() > deadline:
+                            emit({"error": f"timeout for request {rid}"})
+                            return
+                        continue
+                    while True:   # drain remaining chunk events in order
+                        try:
+                            kind, payload = events.get_nowait()
+                        except _q.Empty:
+                            break
+                        if kind == "tokens":
+                            emit({"tokens": payload})
+                    kind, payload = (
+                        ("error", out) if isinstance(out, Exception)
+                        else ("done", out))
+                if kind == "tokens":
+                    emit({"tokens": payload})
+                    continue
+                if kind == "error":
+                    emit({"error": repr(payload), "request_id": rid})
+                    return
+                out = payload
+                emit({
+                    "done": True,
+                    "request_id": rid,
+                    "output_ids": list(out.output_ids),
+                    "new_tokens": out.decode_tokens,
+                    "decode_steps": out.decode_steps,
+                    "wall_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                })
+                return
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away; the batch keeps running
 
 
 def serve(engine, *, host: str = "127.0.0.1", port: int = 8089,

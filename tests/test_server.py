@@ -159,3 +159,63 @@ def test_build_server_engine_choices():
             batch_size=2, quantize=None, max_cache_len=256, sam=None)
         eng = build_server_engine(args)
         assert hasattr(eng, "add_request") and hasattr(eng, "run")
+
+
+def test_sse_streaming_matches_blocking(tiny_model, expected):
+    """POST /generate {"stream": true} emits SSE chunk events whose
+    concatenation equals the blocking response's generated tokens, then a
+    terminal done event with the full summary."""
+    prompts, exp = expected
+    server, sched = serve(_engine(tiny_model), port=0, block=False)
+    port = server.server_address[1]
+    url = f"http://127.0.0.1:{port}"
+    try:
+        body = json.dumps({"input_ids": prompts[0], "stream": True,
+                           "max_new_tokens": 16,
+                           "max_cache_len": 256}).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{url}/generate", data=body,
+                headers={"Content-Type": "application/json"}),
+                timeout=120) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            events = []
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[len("data: "):]))
+        assert events and events[-1].get("done") is True
+        streamed = [t for e in events[:-1] for t in e["tokens"]]
+        final = events[-1]
+        assert final["output_ids"] == exp[0]
+        # chunk concatenation == generated part of the final output
+        assert streamed == exp[0][len(prompts[0]):]
+        assert final["new_tokens"] == len(streamed)
+    finally:
+        server.shutdown()
+        sched.close()
+
+
+def test_scheduler_submit_stream_chunks(tiny_model, expected):
+    """Scheduler.submit_stream delivers ordered chunk events and a terminal
+    done event; mixing streaming and blocking clients in one batch works."""
+    prompts, exp = expected
+    sched = Scheduler(_engine(tiny_model))
+    try:
+        rid, events = sched.submit_stream(prompts[2], GEN)
+        other = sched.submit(prompts[3], GEN)
+        chunks = []
+        while True:
+            kind, payload = events.get(timeout=120)
+            if kind == "done":
+                out = payload
+                break
+            assert kind == "tokens"
+            chunks.append(payload)
+        assert out.output_ids == exp[2]
+        flat = [t for c in chunks for t in c]
+        assert flat == exp[2][len(prompts[2]):]
+        assert sched.result(other, timeout=120).output_ids == exp[3]
+        # listener bookkeeping is cleaned up
+        assert rid not in sched.engine.progress_listeners
+    finally:
+        sched.close()
