@@ -241,3 +241,56 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
                               variant=variant)
     y = jnp.concatenate([y2[0], y2[1]], axis=-1)
     return y.reshape(*lead, 2 * OUTH).astype(out_dtype or x.dtype)
+
+
+def int4_matmul_tp(mesh, x: jax.Array, packed: jax.Array, scale: jax.Array,
+                   layer=None, *, axis: str = "tp", out_dtype=None,
+                   block_n: int = 1024, block_k: int = 2048,
+                   interpret: bool = False,
+                   variant: str = DEFAULT_VARIANT) -> jax.Array:
+    """Tensor-parallel ``int4_matmul``: explicit shard_map partition of the
+    Pallas kernel over the out-halves axis.
+
+    A ``pallas_call`` is an unpartitioned custom call — GSPMD cannot split
+    it, so under a tp mesh it either runs replicated (the composition
+    ``parallel.shard_params`` chooses for Int4Tensor weights: correct,
+    parity-tested, but each chip streams the FULL packed array) or, if the
+    packed operand is tp-sharded, gets an all-gather inserted in front of
+    it every step (worse).  This wrapper is the per-shard-streaming form:
+    ``packed [L, in, out/2]`` sharded on its last axis over ``axis``, each
+    device runs the kernel on its own column slab (halves layout keeps
+    both nibbles of a byte inside one shard), and the [..., out] result is
+    column-sharded with no collectives — the downstream row-parallel
+    matmul's psum is where GSPMD reduces, exactly like the int8 megatron
+    split.
+
+    Args mirror ``int4_matmul`` plus ``mesh``/``axis``.  ``scale [.., out]``
+    may be replicated or sharded consistently ([2·shard] halves per
+    device); it is reshaped to halves-major [.., 2, out/2] and sharded on
+    the trailing axis inside."""
+    if packed.ndim == 2:
+        packed = packed[None]
+        scale = scale[None]
+        layer = jnp.int32(0)
+    L, IN, OUTH = packed.shape
+    lead = x.shape[:-1]
+    R = 1
+    for d in lead:
+        R *= d
+    x2 = x.reshape(R, IN)
+    scale3 = scale.reshape(L, 2, OUTH)
+    P = jax.sharding.PartitionSpec
+
+    def local(x2, packed, scale3, layer):
+        y = _int4_matmul_stacked(x2, packed, scale3, layer,
+                                 block_n=block_n, block_k=block_k,
+                                 interpret=interpret, variant=variant)
+        return y  # [2, R, OUTH/shards]
+
+    y2 = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, None, axis), P(None, None, axis), P()),
+        out_specs=P(None, None, axis), check_vma=False,
+    )(x2, packed, scale3, jnp.reshape(jnp.asarray(layer, jnp.int32), ()))
+    y = jnp.concatenate([y2[0], y2[1]], axis=-1)
+    return y.reshape(*lead, 2 * OUTH).astype(out_dtype or x.dtype)

