@@ -293,6 +293,90 @@ def _init_int4_llama_params(cfg, key, *, scale: float = 0.02) -> dict:
     return params
 
 
+def int4_requant_from_int8_init(cfg, key, *, scale: float = 0.02) -> dict:
+    """Packed-int4 params quantized from the SAME base weights as
+    ``_init_quantized_llama_params(cfg, key, scale)`` — the apples-to-apples
+    7B int4-vs-int8 bench path (VERDICT r4 #4: the previous int4 7B row was
+    a fresh random init, a different model whose degenerate outputs made
+    accept/equality columns incomparable).
+
+    The int8 init draws ``q ~ randint(-127, 128)`` per projection with a
+    constant per-channel scale; JAX's threefry PRNG is counter-based and
+    backend-deterministic, so this regenerates the identical int8 values ON
+    THE HOST CPU backend (never touching device HBM — the 7B bf16
+    intermediate would not fit next to the resident int8 tree), dequantizes
+    per layer-slice in f64, and re-quantizes to the packed int4 format
+    (quantize_weight4's formula: per-out-channel amax/7 scales, zero-point-8
+    nibbles, halves layout).  Embed/norms regenerate bitwise-identically.
+
+    Callers can verify the same-base claim cheaply by comparing a small
+    slice of the returned ``base_check`` arrays against the device tree
+    (bench.py does)."""
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    s8 = scale * np.sqrt(3.0) / 127.0
+
+    with jax.default_device(cpu):
+        keys = jax.random.split(key, 12)
+
+        def requant(k, shape):
+            """int8 base -> packed int4, per leading-axis slice (bounded
+            host memory: one [in, out] f64 slice at a time)."""
+            q8 = np.asarray(jax.random.randint(k, shape, -127, 128,
+                                               dtype=jnp.int8))
+            lead = shape[:-2]
+            q8v = q8.reshape((-1,) + shape[-2:])
+            half = shape[-1] // 2
+            packed = np.empty(q8v.shape[:-1] + (half,), np.uint8)
+            scale4 = np.empty((q8v.shape[0], shape[-1]), np.float32)
+            for li in range(q8v.shape[0]):
+                w = q8v[li].astype(np.float64) * s8
+                amax = np.abs(w).max(axis=0)
+                sc = np.maximum(amax / 7.0, 1e-12)
+                q4 = np.clip(np.rint(w / sc), -7, 7).astype(np.int32)
+                lo = (q4[:, :half] + 8) & 0xF
+                hi = (q4[:, half:] + 8) & 0xF
+                packed[li] = (lo | (hi << 4)).astype(np.uint8)
+                scale4[li] = sc.astype(np.float32)
+            return Int4Tensor(
+                packed=jnp.asarray(packed.reshape(lead + (shape[-2], half))),
+                scale=jnp.asarray(scale4.reshape(lead + (shape[-1],)))), q8
+
+        def norm(k, shape):
+            return (jax.random.normal(k, shape, jnp.float32) * scale
+                    ).astype(cfg.dtype)
+
+        tensors = {}
+        checks = {}
+        for idx, name, shape in (
+            (1, "wq", (L, H, NH * D)), (2, "wk", (L, H, KH * D)),
+            (3, "wv", (L, H, KH * D)), (4, "wo", (L, NH * D, H)),
+            (5, "w_gate", (L, H, I)), (6, "w_up", (L, H, I)),
+            (7, "w_down", (L, I, H)),
+        ):
+            tensors[name], q8 = requant(keys[idx], shape)
+            checks[name] = np.array(q8[0, :2, :64])
+            del q8
+        params = {
+            "embed": norm(keys[0], (cfg.vocab_size, H)),
+            "layers": {
+                "attn_norm": jnp.ones((L, H), cfg.dtype),
+                "mlp_norm": jnp.ones((L, H), cfg.dtype),
+                **tensors,
+            },
+            "final_norm": jnp.ones((H,), cfg.dtype),
+        }
+        if not cfg.tie_embeddings:
+            head, q8 = requant(keys[8], (H, cfg.vocab_size))
+            params["lm_head"] = head
+            checks["lm_head"] = np.array(q8[:2, :64])
+            del q8
+    return params, checks
+
+
 def quantize_eagle_params(params: dict, *, dtype=jnp.int8) -> dict:
     """Quantize an EAGLE draft-net param dict (drafters.eagle.net): the
     expansion loop runs the net ``depth`` times per decode step, so its

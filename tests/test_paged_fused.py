@@ -188,3 +188,87 @@ def test_paged_fused_hybrid_matches_dense(tiny_model):
     results_q = paged_q.run()
     for rd, rp in zip(ids_dq, ids_pq):
         assert results_q[rp].output_ids == expected_q[rd].output_ids
+
+
+# ---------------------------------------------------------------------------
+# packed-int4 weights through the batched + paged engines (VERDICT r4 #2/#4:
+# int4 composed with the serving stories).  The forward's int4-kernel
+# dispatch (models/llama.py) is batch-agnostic; these pin that the dense
+# batched engine and the page-pool engine drive it to identical trajectories.
+# ---------------------------------------------------------------------------
+
+def _int4_cfg(**kw):
+    """256-divisible contraction dims (the kernel's block constraint)."""
+    from samd_tpu.models import ModelConfig
+
+    return ModelConfig(vocab_size=512, hidden_size=256,
+                       intermediate_size=512, num_layers=2, num_heads=4,
+                       num_kv_heads=2, head_dim=64, dtype=jax.numpy.float32,
+                       int4_impl="kernel_interpret", **kw)
+
+
+@pytest.fixture(scope="module")
+def int4_model():
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg = _int4_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), scale=0.4)
+    return cfg, quantize_llama_params(params, dtype=jax.numpy.int4)
+
+
+def test_int4_kernel_paged_batched_fused_sam_matches_dense(int4_model):
+    """Paged batched fused-sam on packed-int4 weights (Pallas kernel path)
+    == dense batched fused-sam, bitwise per request."""
+    cfg, q4 = int4_model
+    gen = GenerationConfig(max_new_tokens=12, max_cache_len=128)
+    rng = np.random.default_rng(9)
+    ps = [rng.integers(3, 512, size=int(rng.integers(10, 20))).tolist()
+          for _ in range(3)]
+    fscfg = FusedSamConfig(n_predicts=7, steps_per_call=6,
+                           corpus_capacity=256)
+
+    dense = BatchedFusedSamEngine(cfg, q4, fscfg, batch_size=2,
+                                  max_cache_len=128, eos_token_id=-1,
+                                  prefill_buckets=(32,))
+    ids_d = [dense.add_request(p, gen) for p in ps]
+    expected = dense.run()
+
+    paged = PagedBatchedFusedSamEngine(
+        cfg, q4, fscfg, batch_size=2, max_cache_len=128,
+        eos_token_id=-1, prefill_buckets=(32,), n_pages=24, page_size=PAGE)
+    ids_p = [paged.add_request(p, gen) for p in ps]
+    results = paged.run()
+    for rd, rp in zip(ids_d, ids_p):
+        assert results[rp].output_ids == expected[rd].output_ids
+    assert len(paged.pool._free) == 24
+
+
+def test_int4_kernel_paged_batched_hybrid_matches_dense(int4_model):
+    """Paged batched SAM[Token Recycle] hybrid on packed-int4 weights ==
+    dense batched hybrid (tree drafts + gather-compact on pages, int4
+    kernel in the trunk)."""
+    from samd_tpu.fused_hybrid import (BatchedFusedHybridEngine,
+                                       FusedHybridConfig,
+                                       PagedBatchedFusedHybridEngine)
+
+    cfg, q4 = int4_model
+    gen = GenerationConfig(max_new_tokens=12, max_cache_len=128)
+    rng = np.random.default_rng(13)
+    ps = [rng.integers(3, 512, size=int(rng.integers(10, 18))).tolist()
+          for _ in range(3)]
+    hy_cfg = FusedHybridConfig(steps_per_call=4, tree_nodes=7,
+                               n_predicts=6, max_block=8)
+
+    dense = BatchedFusedHybridEngine(cfg, q4, hy_cfg, batch_size=2,
+                                     max_cache_len=128, eos_token_id=-1,
+                                     prefill_buckets=(32,))
+    ids_d = [dense.add_request(p, gen) for p in ps]
+    expected = dense.run()
+
+    paged = PagedBatchedFusedHybridEngine(
+        cfg, q4, hy_cfg, batch_size=2, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,), n_pages=24, page_size=PAGE)
+    ids_p = [paged.add_request(p, gen) for p in ps]
+    results = paged.run()
+    for rd, rp in zip(ids_d, ids_p):
+        assert results[rp].output_ids == expected[rd].output_ids

@@ -390,3 +390,48 @@ def test_int4_kernel_engine_lossless_vs_own_ar():
                          prefill_buckets=(16,))
     assert eng.generate(prompt, gen).output_ids == \
         ar.generate(prompt, gen).output_ids
+
+
+def test_int4_requant_from_int8_init_same_base_weights():
+    """int4_requant_from_int8_init derives its packed weights from the SAME
+    random int8 base as _init_quantized_llama_params (same key): the
+    dequantized int4 tree approximates the dequantized int8 tree within the
+    int4 quantization step, the base-check slices match the int8 tree's q
+    values exactly, and the tree serves the fused engine losslessly."""
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.ops.quant import (Int4Tensor, _deq4,
+                                    init_quantized_llama_params,
+                                    int4_requant_from_int8_init)
+
+    cfg = tiny_config(vocab_size=128)
+    key = jax.random.PRNGKey(0)
+    p8 = init_quantized_llama_params(cfg, key, scale=0.4)
+    p4, checks = int4_requant_from_int8_init(cfg, key, scale=0.4)
+    assert isinstance(p4["layers"]["wq"], Int4Tensor)
+
+    for name in ("wq", "wo", "w_down"):
+        q8 = np.asarray(p8["layers"][name].q)
+        # base-check slices reproduce the int8 init bitwise (threefry is
+        # backend/counter deterministic)
+        np.testing.assert_array_equal(checks[name],
+                                      q8[0, :2, :min(64, q8.shape[-1])])
+        w8 = q8.astype(np.float64) * np.asarray(
+            p8["layers"][name].scale, np.float64)[..., None, :]
+        w4 = np.asarray(_deq4(p4["layers"][name], jnp.float32), np.float64)
+        # int4 quant error bound: half a step = amax/14 per channel (plus
+        # f32 rounding of the stored scale: measured ~2e-8 absolute)
+        step = np.abs(w8).max(axis=-2, keepdims=True) / 7.0
+        assert np.all(np.abs(w8 - w4) <= 0.5 * step + 1e-6), name
+    # embeds identical
+    np.testing.assert_array_equal(np.asarray(p8["embed"]),
+                                  np.asarray(p4["embed"]))
+
+    gen = GenerationConfig(max_new_tokens=16, max_cache_len=256)
+    prompt = np.random.default_rng(5).integers(3, 128, size=18).tolist()
+    ar = ArBaseline(cfg, p4, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=8)
+    eng = FusedSamEngine(cfg, p4, FusedSamConfig(n_predicts=7),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
