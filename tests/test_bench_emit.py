@@ -63,3 +63,33 @@ def test_emitter_partial_then_complete(tmp_path, capsys):
     assert last["detail"]["fused_sam_tokens_per_s"] == 400.0
     full = json.loads((tmp_path / "d.json").read_text())
     assert full["detail"] == detail and full["complete"] is True
+
+
+def test_bench_runner_budget_zero_skips_all_sections(tmp_path, capsys,
+                                                     monkeypatch):
+    """bench.py's budgeted runner (round-5 rc=124 fix): with a zero budget
+    every section is SKIPPED (none runs device work beyond model init), the
+    final line still emits complete=true, and the skip list names every
+    section in information-value order."""
+    import sys
+
+    monkeypatch.setenv("SAMD_BENCH_BUDGET_S", "0")
+    monkeypatch.chdir(tmp_path)  # bench_detail.json lands here
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    bench.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(lines[-1])
+    assert final["complete"] is True
+    skipped = final["detail"]["skipped_sections"]
+    # information-value order: honesty sections before the long tail
+    assert skipped[:5] == ["ar_baseline", "oracles", "fused_sam",
+                           "int8_fused_sam", "int4_fused_sam"]
+    assert "trained_accept" in skipped[:7]
+    assert "specbench_pipeline" in skipped[:7]
+    assert "model_families" == skipped[-1]
+    assert len(skipped) >= 30
+    detail = json.loads((tmp_path / "bench_detail.json").read_text())
+    assert detail["complete"] is True
+    assert detail["detail"]["bench_budget_s"] == 0.0
