@@ -301,79 +301,81 @@ def int4_requant_from_int8_init(cfg, key, *, scale: float = 0.02) -> dict:
     accept/equality columns incomparable).
 
     The int8 init draws ``q ~ randint(-127, 128)`` per projection with a
-    constant per-channel scale; JAX's threefry PRNG is counter-based and
-    backend-deterministic, so this regenerates the identical int8 values ON
-    THE HOST CPU backend (never touching device HBM — the 7B bf16
-    intermediate would not fit next to the resident int8 tree), dequantizes
-    per layer-slice in f64, and re-quantizes to the packed int4 format
-    (quantize_weight4's formula: per-out-channel amax/7 scales, zero-point-8
-    nibbles, halves layout).  Embed/norms regenerate bitwise-identically.
+    constant per-channel scale; this REGENERATES those exact draws (same
+    threefry keys, same backend as the int8 row — on the TPU in the bench,
+    on CPU in tests, so no cross-backend PRNG assumption), dequantizes in
+    f32 and re-quantizes to the packed int4 format (quantize_weight4's
+    formula: per-out-channel amax/7 scales, zero-point-8 nibbles, halves
+    layout).  One tensor at a time with a ``lax.map`` over the layer axis,
+    so the peak footprint is the int8 source tensor + its packed result —
+    never a wide bf16 tree, and never a multi-GB host↔device transfer
+    through the tunnel.  Embed/norms regenerate bitwise-identically.
 
-    Callers can verify the same-base claim cheaply by comparing a small
-    slice of the returned ``base_check`` arrays against the device tree
+    Returns ``(params, base_checks)``: ``base_checks[name]`` is a tiny
+    ``q[..0, :2, :64]`` slice of the regenerated int8 base; comparing it
+    against the int8 row's device tree proves both rows share base weights
     (bench.py does)."""
     import numpy as np
 
-    cpu = jax.devices("cpu")[0]
     L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
     NH, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    s8 = scale * np.sqrt(3.0) / 127.0
+    s8 = float(scale * np.sqrt(3.0) / 127.0)
+    keys = jax.random.split(key, 12)
 
-    with jax.default_device(cpu):
-        keys = jax.random.split(key, 12)
+    @jax.jit
+    def _requant_stack(q8):
+        """[Lx, in, out] int8 -> (packed uint8 [Lx, in, out/2],
+        scale f32 [Lx, out]); lax.map keeps the f32 temporaries to one
+        layer slice."""
+        half = q8.shape[-1] // 2
 
-        def requant(k, shape):
-            """int8 base -> packed int4, per leading-axis slice (bounded
-            host memory: one [in, out] f64 slice at a time)."""
-            q8 = np.asarray(jax.random.randint(k, shape, -127, 128,
-                                               dtype=jnp.int8))
-            lead = shape[:-2]
-            q8v = q8.reshape((-1,) + shape[-2:])
-            half = shape[-1] // 2
-            packed = np.empty(q8v.shape[:-1] + (half,), np.uint8)
-            scale4 = np.empty((q8v.shape[0], shape[-1]), np.float32)
-            for li in range(q8v.shape[0]):
-                w = q8v[li].astype(np.float64) * s8
-                amax = np.abs(w).max(axis=0)
-                sc = np.maximum(amax / 7.0, 1e-12)
-                q4 = np.clip(np.rint(w / sc), -7, 7).astype(np.int32)
-                lo = (q4[:, :half] + 8) & 0xF
-                hi = (q4[:, half:] + 8) & 0xF
-                packed[li] = (lo | (hi << 4)).astype(np.uint8)
-                scale4[li] = sc.astype(np.float32)
-            return Int4Tensor(
-                packed=jnp.asarray(packed.reshape(lead + (shape[-2], half))),
-                scale=jnp.asarray(scale4.reshape(lead + (shape[-1],)))), q8
+        def one(q):
+            w = q.astype(jnp.float32) * s8
+            amax = jnp.max(jnp.abs(w), axis=0)
+            sc = jnp.maximum(amax / 7.0, 1e-12)
+            q4 = jnp.clip(jnp.round(w / sc), -7, 7).astype(jnp.int32)
+            lo = (q4[:, :half] + 8) & 0xF
+            hi = (q4[:, half:] + 8) & 0xF
+            return (lo | (hi << 4)).astype(jnp.uint8), sc
 
-        def norm(k, shape):
-            return (jax.random.normal(k, shape, jnp.float32) * scale
-                    ).astype(cfg.dtype)
+        return jax.lax.map(one, q8)
 
-        tensors = {}
-        checks = {}
-        for idx, name, shape in (
-            (1, "wq", (L, H, NH * D)), (2, "wk", (L, H, KH * D)),
-            (3, "wv", (L, H, KH * D)), (4, "wo", (L, NH * D, H)),
-            (5, "w_gate", (L, H, I)), (6, "w_up", (L, H, I)),
-            (7, "w_down", (L, I, H)),
-        ):
-            tensors[name], q8 = requant(keys[idx], shape)
-            checks[name] = np.array(q8[0, :2, :64])
-            del q8
-        params = {
-            "embed": norm(keys[0], (cfg.vocab_size, H)),
-            "layers": {
-                "attn_norm": jnp.ones((L, H), cfg.dtype),
-                "mlp_norm": jnp.ones((L, H), cfg.dtype),
-                **tensors,
-            },
-            "final_norm": jnp.ones((H,), cfg.dtype),
-        }
-        if not cfg.tie_embeddings:
-            head, q8 = requant(keys[8], (H, cfg.vocab_size))
-            params["lm_head"] = head
-            checks["lm_head"] = np.array(q8[:2, :64])
-            del q8
+    def requant(k, shape):
+        q8 = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+        lead = shape[:-2]
+        q8v = q8.reshape((-1,) + shape[-2:])
+        packed, scale4 = _requant_stack(q8v)
+        check = np.asarray(q8v[0, :2, :64])
+        del q8, q8v
+        return Int4Tensor(
+            packed=packed.reshape(lead + (shape[-2], shape[-1] // 2)),
+            scale=scale4.reshape(lead + (shape[-1],))), check
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(cfg.dtype)
+
+    tensors = {}
+    checks = {}
+    for idx, name, shape in (
+        (1, "wq", (L, H, NH * D)), (2, "wk", (L, H, KH * D)),
+        (3, "wv", (L, H, KH * D)), (4, "wo", (L, NH * D, H)),
+        (5, "w_gate", (L, H, I)), (6, "w_up", (L, H, I)),
+        (7, "w_down", (L, I, H)),
+    ):
+        tensors[name], checks[name] = requant(keys[idx], shape)
+    params = {
+        "embed": norm(keys[0], (cfg.vocab_size, H)),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), cfg.dtype),
+            "mlp_norm": jnp.ones((L, H), cfg.dtype),
+            **tensors,
+        },
+        "final_norm": jnp.ones((H,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"], checks["lm_head"] = requant(
+            keys[8], (H, cfg.vocab_size))
     return params, checks
 
 

@@ -28,9 +28,13 @@ def main():
     ap.add_argument("--n-pages", type=int, default=0,
                     help="0 = sized from B (4 pages/slot + slack)")
     ap.add_argument("--quant-kv", action="store_true")
-    ap.add_argument("--quantize", default="int8", choices=("int8", "int4"),
+    ap.add_argument("--quantize", default="int8",
+                    choices=("int8", "int4", "int4-samebase"),
                     help="weight dtype; int4 routes the batched forward "
-                         "through the weight-streaming Pallas kernel")
+                         "through the weight-streaming Pallas kernel; "
+                         "int4-samebase requantizes the int8 row's exact "
+                         "base weights (ops/quant.int4_requant_from_int8_"
+                         "init) so tok/s+accept compare apples-to-apples")
     ap.add_argument("--model", default="7b", choices=("1b", "7b"),
                     help="1b reproduces the bench's paged-peak row shape")
     args = ap.parse_args()
@@ -46,7 +50,12 @@ def main():
     from samd_tpu.ops.quant import init_quantized_llama_params
 
     cfg7 = llama_7b() if args.model == "7b" else llama_1b()
-    if args.quantize == "int4":
+    if args.quantize == "int4-samebase":
+        from dataclasses import replace
+        from samd_tpu.ops.quant import int4_requant_from_int8_init
+        cfg7 = replace(cfg7, int4_impl="kernel")
+        params7, _ = int4_requant_from_int8_init(cfg7, jax.random.PRNGKey(0))
+    elif args.quantize == "int4":
         import jax.numpy as jnp
         from dataclasses import replace
         cfg7 = replace(cfg7, int4_impl="kernel")
