@@ -69,6 +69,13 @@ def main():
         if args.int8 or args.int4:
             from samd_tpu.ops.quant import quantize_llama_params
             params = quantize_llama_params(params, dtype=qdtype)
+    if args.int4:
+        # packed-int4 must go through the Pallas weight-streaming kernel —
+        # the default XLA _deq4 fallback streams int8-parity bytes and
+        # would misattribute ~2x weight traffic to "the int4 step"
+        from dataclasses import replace as _dcr
+
+        cfg = _dcr(cfg, int4_impl="kernel")
     if args.flash:
         from dataclasses import replace as _dcr
 
@@ -191,14 +198,25 @@ def main():
         return st[0]
 
     # --- (e) lm_head ablation: forward but argmax pre-head hidden ----------
-    def fwd_block_nohead(params, kv_k, kv_v, tokens, hist_len):
-        s = jnp.arange(S)[None, None, :]
-        mask = block_decode_mask(tri, hist_len, S)
-        mask = mask | (s == (hist_len + chain_pos)[None, :, None])
-        logits, hidden, kv_k, kv_v = forward(
-            params, cfg, tokens[None], chain_pos[None, :] + hist_len,
-            kv_k, kv_v, hist_len, mask)
-        return hidden, kv_k, kv_v
+    # (XLA dead-code-eliminates the head matmul when only `hidden` is
+    # consumed, so loop_forward - loop_nohead = the head's per-step cost)
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def loop_nohead(params, kv_k, kv_v, history, hist_len):
+        def body(st):
+            kv_k, kv_v, tok, i = st
+            tokens = jnp.full((M,), tok, jnp.int32)
+            s = jnp.arange(Wc)[None, None, :]
+            mask = block_decode_mask(tri, hist_len, Wc)
+            mask = mask | (s == (hist_len + chain_pos)[None, :, None])
+            _, hidden, kv_k, kv_v = forward(
+                params, cfg, tokens[None], chain_pos[None, :] + hist_len,
+                kv_k, kv_v, hist_len, mask)
+            tok = (jnp.argmax(hidden[0, 0, :64]) + 3).astype(jnp.int32)
+            return kv_k, kv_v, tok, i + 1
+
+        st = jax.lax.while_loop(lambda st: st[3] < K, body,
+                                (kv_k, kv_v, jnp.int32(5), jnp.int32(0)))
+        return st[0], st[1], st[2]
 
     def timed(fn, *fetch_args, label=""):
         best = None
@@ -235,9 +253,11 @@ def main():
     print(f"config: S={S} M={M} K={K} int8={args.int8}")
     t_r = run("retrieval only", loop_retrieve, 2)
     t_f = run("forward only", loop_forward, 5)
+    t_nh = run("forward minus lm_head (DCE'd)", loop_nohead, 5)
     t_fa = run("forward + accept + commit", loop_fwd_accept, 5)
     t_full = run("full body (retrieve+fwd+accept)", loop_full, 5)
-    print(f"\nderived: accept/commit = {t_fa - t_f:.3f} ms, "
+    print(f"\nderived: lm_head = {t_f - t_nh:.3f} ms, "
+          f"accept/commit = {t_fa - t_f:.3f} ms, "
           f"retrieval-in-body = {t_full - t_fa:.3f} ms "
           f"(standalone {t_r:.3f}), forward = {t_f:.3f} ms")
 
