@@ -175,11 +175,27 @@ def _int4_matmul_stacked(x2: jax.Array, packed: jax.Array, scale2: jax.Array,
     L, _, OUTH = packed.shape
     bk = _pick_bk(IN, block_k)
     bn = min(block_n, OUTH)
-    # scoped-VMEM guard: the i32 unpack temporaries are 4 bytes per packed
-    # byte, and Mosaic's stack limit is 16 MB — keep packed blocks <= 2 MB
-    while bk * bn > (1 << 21) and bn > 128:
+
+    # Scoped-VMEM guard: Mosaic's kernel stack is 16 MB.  Empirical model
+    # from compiler OOM reports (r05): scoped ≈ 6.75 bytes per packed-block
+    # byte (u8 block + i32 widen + two full-width bf16 unpack forms, double
+    # buffered) + R·(2·bk + 12·bn) for the x block, the [2, R, bn] f32
+    # accumulator and the two [R, bn] partial sums.  At the serving shapes
+    # R = B·M = 192 the old packed-only clamp left the lm_head call 0.5-1.8
+    # MB over the limit (BENCH r05 dev run) — batched int4 engines OOMed at
+    # compile.  Shrink bn first: splitting the parallel j axis is
+    # numerics-neutral (the k accumulation order per output element is set
+    # by bk alone), so engines and oracles at different R stay comparable.
+    # (model fitted on the two r05 OOM reports — 1B R=192: 16.48 MB, 7B
+    # R=192: 17.84 MB — and the known-good R∈{8,16,60} compiles; it keeps
+    # every previously-shipped single-stream shape unchanged)
+    def scoped_est(bk, bn):
+        return 27 * bk * bn // 4 + R * (2 * IN + 12 * bn)
+
+    budget = 15_728_640   # 15.5 MB: 0.5 MB margin under the 16 MB stack
+    while scoped_est(bk, bn) > budget and bn > 128:
         bn //= 2
-    while bk * bn > (1 << 21) and bk > 256 and IN % (bk // 2) == 0:
+    while scoped_est(bk, bn) > budget and bk > 256 and IN % (bk // 2) == 0:
         bk //= 2
     grid = (pl.cdiv(OUTH, bn), IN // bk)
 
