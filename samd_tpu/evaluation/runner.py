@@ -85,8 +85,19 @@ def run_eval(engine, questions: Sequence[Question], out_path: str, *,
     codec = codec or IdentityCodec()
 
     # Warmup: compile all step shapes before timing (reference runs 3 full
-    # generations, eval_vicuna.py:93-156).
-    for q in list(questions)[:warmup]:
+    # generations, eval_vicuna.py:93-156).  Beyond the first ``warmup``
+    # questions, also warm the FIRST question of every category: task
+    # prompt lengths differ, so a later task can hit a fresh prefill
+    # bucket whose remote compile would otherwise land INSIDE its timed
+    # run and poison that task's speedup row (r05 dev run: fused-sam rag
+    # 0.39x from exactly this).
+    warm_qs = list(questions)[:warmup]
+    seen_cats = {q.category for q in warm_qs}
+    for q in questions:
+        if q.category not in seen_cats:
+            seen_cats.add(q.category)
+            warm_qs.append(q)
+    for q in warm_qs:
         try:
             engine.generate(codec.encode(q.turns[0]), gen)
         except Exception:
