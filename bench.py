@@ -592,16 +592,35 @@ def main():
             gc.collect()
 
             # -- 7B int4 PAGED BATCHED: the production serving config on
-            # one 16 GB chip (int8 pages at this scale are standalone-only:
-            # the 6.8 GB tree + pool OOMs next to the resident 1B engines).
-            # B=12, M=16 serving block, page pool sized to live tokens.
+            # one 16 GB chip (int8 WEIGHTS at this scale are
+            # standalone-only: the 6.8 GB tree + pool OOMs next to the
+            # resident 1B engines — scripts/profile_7b_paged.py).  B=12,
+            # M=16 serving block, int8 KV pages (the production page
+            # dtype: 7B KV is 512 KB/token across the 32 layers, so the
+            # 52-page bf16 pool alone is 3.4 GB; int8 pages are 0.53x).
+            # HBM discipline (r05 dev run: a second live bf16 pool OOMed
+            # the chip AND wedged the tunnel for every later section):
+            # free the probe before building the timed engine, and guard
+            # on the backend's free-memory stats when available.
+            pool_bytes = int(52 * 128 * 2 * cfg7q.num_layers
+                             * cfg7q.num_kv_heads * cfg7q.head_dim * 1.06)
+            try:
+                st = jax.local_devices()[0].memory_stats()
+                free = st["bytes_limit"] - st["bytes_in_use"]
+            except Exception:
+                free = None
+            if free is not None and free < pool_bytes + (1 << 30):
+                log(f"SKIP 7B int4 paged batched: only {free/1e9:.1f} GB "
+                    f"free for a {pool_bytes/1e9:.1f} GB page pool")
+                return
             pk_cfg = FusedSamConfig(steps_per_call=16, n_predicts=15)
             mk = lambda corpus=None: PagedBatchedFusedSamEngine(
                 cfg7q, params7q, pk_cfg, corpus=corpus, batch_size=12,
                 max_cache_len=MAX_CACHE, eos_token_id=-1,
                 prefill_buckets=(128,), n_pages=52, page_size=128,
-                interpret=False)
-            log("7B int4 paged batched (B=12 M=16) warmup/compile...")
+                quantized_kv=True, interpret=False)
+            log("7B int4 paged batched (B=12 M=16, int8 pages) "
+                "warmup/compile...")
             pgp = mk()
             pgp.add_request(prompts[0][:64],
                             GenerationConfig(max_new_tokens=4,
@@ -612,6 +631,9 @@ def main():
             pg_corpus = []
             for r in pgp.run().values():
                 pg_corpus += r.output_ids + [0]
+            del pgp
+            pgp = None
+            gc.collect()
             pg = mk(pg_corpus)
             pg.add_request(prompts[0][:64],
                            GenerationConfig(max_new_tokens=4,
@@ -626,8 +648,8 @@ def main():
             outs = [res[r].output_ids for r in rids]
             consistent = all(outs[i] == outs[i % len(all_prompts)]
                              for i in range(len(outs)))
-            log(f"7B int4 paged batched (B=12 M=16): {tok} tokens in "
-                f"{dt:.2f}s = {tok/dt:.1f} tok/s, accept "
+            log(f"7B int4 paged batched (B=12 M=16, int8 pages): {tok} "
+                f"tokens in {dt:.2f}s = {tok/dt:.1f} tok/s, accept "
                 f"{tok/max(steps,1):.2f}, peak pages {pg.peak_pages}/52, "
                 f"consistent {consistent}")
             detail.update({
@@ -635,7 +657,8 @@ def main():
                 "int4_7b_paged_batched_mean_accept":
                     round(tok / max(steps, 1), 3),
                 "int4_7b_paged_batched_outputs_consistent": consistent,
-                "int4_7b_paged_batched_config": "B=12 M=16 52x128pages",
+                "int4_7b_paged_batched_config":
+                    "B=12 M=16 52x128 int8-KV pages",
             })
         finally:
             params7q = ar7q = p7q = f7q = pg = pgp = None

@@ -272,3 +272,33 @@ def test_int4_kernel_paged_batched_hybrid_matches_dense(int4_model):
     results = paged.run()
     for rd, rp in zip(ids_d, ids_p):
         assert results[rp].output_ids == expected[rd].output_ids
+
+
+def test_int4_kernel_paged_int8kv_pool_matches_dense_int8kv(int4_model):
+    """int4 weights (Pallas kernel) × int8 KV pages — the bench's 7B
+    production serving combination — matches the dense int4 engine with
+    the dense int8 KV cache (identical per-token quantization formula)."""
+    from dataclasses import replace
+
+    cfg, q4 = int4_model
+    gen = GenerationConfig(max_new_tokens=12, max_cache_len=128)
+    rng = np.random.default_rng(17)
+    ps = [rng.integers(3, 512, size=int(rng.integers(10, 18))).tolist()
+          for _ in range(3)]
+    fscfg = FusedSamConfig(n_predicts=7, steps_per_call=6,
+                           corpus_capacity=256)
+
+    dense = BatchedFusedSamEngine(
+        replace(cfg, kv_quant=True), q4, fscfg, batch_size=2,
+        max_cache_len=128, eos_token_id=-1, prefill_buckets=(32,))
+    ids_d = [dense.add_request(p, gen) for p in ps]
+    expected = dense.run()
+
+    paged = PagedBatchedFusedSamEngine(
+        cfg, q4, fscfg, batch_size=2, max_cache_len=128, eos_token_id=-1,
+        prefill_buckets=(32,), n_pages=24, page_size=PAGE,
+        quantized_kv=True)
+    ids_p = [paged.add_request(p, gen) for p in ps]
+    results = paged.run()
+    for rd, rp in zip(ids_d, ids_p):
+        assert results[rp].output_ids == expected[rd].output_ids
