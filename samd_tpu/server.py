@@ -390,10 +390,21 @@ def build_server_engine(args):
 
         from .ops.quant import quantize_llama_params
 
-        params = quantize_llama_params(
-            params,
-            dtype=jnp.int8 if args.quantize == "int8"
-            else jnp.float8_e4m3fn)
+        qdtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn,
+                  "int4": jnp.int4}[args.quantize]
+        params = quantize_llama_params(params, dtype=qdtype)
+        if args.quantize == "int4" and not getattr(args, "cpu", False):
+            # int4 serves through the Pallas weight-streaming kernel.
+            # Regime guidance (docs/PERFORMANCE.md "INT4"): the kernel
+            # halves the weight stream but doubles the matmul issue (two
+            # dots per packed block), so it wins where decode is
+            # weight-bound — 7B-class at any batch (0.66x the int8 step),
+            # small models at low batch — and loses to int8 at
+            # compute-bound high-batch 1B configs (877 vs 1079 tok/s at
+            # B=12).  The operator picks the dtype; we pick the impl.
+            from dataclasses import replace
+
+            cfg = replace(cfg, int4_impl="kernel")
 
     corpus = static_sam.text if static_sam is not None else None
     if args.engine == "batched":
@@ -465,7 +476,7 @@ def main(argv=None):
                             "fused_hybrid_batched", "paged_fused_hybrid",
                             "eagle2_hybrid_batched", "batched"])
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--quantize", choices=["int8", "fp8"])
+    p.add_argument("--quantize", choices=["int8", "fp8", "int4"])
     p.add_argument("--max-cache-len", type=int, default=1024)
     p.add_argument("--sam", help="static corpus SAM .npz")
     p.add_argument("--inline-prefill", action="store_true",

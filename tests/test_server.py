@@ -159,6 +159,19 @@ def test_build_server_engine_choices():
             batch_size=2, quantize=None, max_cache_len=256, sam=None)
         eng = build_server_engine(args)
         assert hasattr(eng, "add_request") and hasattr(eng, "run")
+    # every weight-quant choice constructs (int4 keeps the CPU-safe XLA
+    # dequant path under --cpu; the kernel impl is TPU-only)
+    for quant in ("int8", "fp8", "int4"):
+        args = argparse.Namespace(
+            model=None, random_model=True, tiny=True,
+            engine="fused_sam_batched", batch_size=2, quantize=quant,
+            max_cache_len=256, sam=None, cpu=True)
+        eng = build_server_engine(args)
+        assert eng.model_cfg.int4_impl == "xla"
+        out = eng.add_request([5, 6, 7, 8],
+                              GenerationConfig(max_new_tokens=4,
+                                               max_cache_len=256))
+        assert eng.run()[out].decode_tokens >= 1
 
 
 def test_sse_streaming_matches_blocking(tiny_model, expected):
