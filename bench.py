@@ -665,6 +665,87 @@ def main():
             gc.collect()
 
     # ------------------------------------------------------------------
+    # 9b. 13B-class INT4: the reference's LARGEST Spec-Bench target
+    #     (Vicuna-13B, served there on a 48 GB A6000 —
+    #     /root/reference/README.md) on ONE 16 GB chip.  bf16 (26 GB) and
+    #     int8 (13 GB) cannot fit next to anything; packed int4 (~6.6 GB)
+    #     can — the capability row int4 exists for.  Random int4 init
+    #     (no 13B int8 row exists to share base weights with), 7B-style
+    #     cache buckets (13B KV is 820 KB/token across 40 layers), own
+    #     int4 AR denominator + own-trajectory corpus.
+    # ------------------------------------------------------------------
+    @section("13b_int4", 420)
+    def sec_13b_int4():
+        from dataclasses import replace as _dcr
+
+        from samd_tpu.models import llama_13b
+        from samd_tpu.ops.quant import init_quantized_llama_params as _iq
+
+        params13 = ar13 = p13 = f13 = None
+        try:
+            need = 7 * (1 << 30) + 3 * (1 << 30)  # weights + caches/temps
+            try:
+                st = jax.local_devices()[0].memory_stats()
+                free = st["bytes_limit"] - st["bytes_in_use"]
+            except Exception:
+                free = None
+            if free is not None and free < need:
+                log(f"SKIP 13B int4: only {free/1e9:.1f} GB free")
+                return
+            cfg13 = _dcr(llama_13b(), int4_impl="kernel")
+            params13 = _iq(cfg13, jax.random.PRNGKey(0), dtype=jnp.int4)
+            ar13 = ArBaseline(cfg13, params13, max_cache_len=MAX_CACHE,
+                              eos_token_id=-1, prefill_buckets=(128,))
+            log("13B int4 AR warmup/compile...")
+            ar13.generate(warm_prompt, warm)
+            _, a13_tok, a13_steps, a13_dt = timed_generate(
+                ar13, all_prompts, gen)
+            a13_tps = a13_tok / a13_dt
+            log(f"13B int4 AR: {a13_tps:.1f} tok/s "
+                f"({1000 * a13_dt / max(a13_steps, 1):.1f} ms/step)")
+            fscfg13 = FusedSamConfig(steps_per_call=256,
+                                     corpus_capacity=4096, n_predicts=15,
+                                     cache_buckets=(256, 384, 512, 768))
+            p13 = FusedSamEngine(cfg13, params13, fscfg13,
+                                 max_cache_len=MAX_CACHE, eos_token_id=-1,
+                                 prefill_buckets=(128,))
+            log("13B int4 fused-sam warmup/compile...")
+            p13.generate(warm_prompt, warm)
+            o13 = [p13.generate(p, gen).output_ids for p in overlap_prompts]
+            c13 = []
+            for o in o13:
+                c13 += o + [0]
+            f13 = FusedSamEngine(cfg13, params13, fscfg13, corpus=c13,
+                                 max_cache_len=MAX_CACHE, eos_token_id=-1,
+                                 prefill_buckets=(128,))
+            f13.generate(warm_prompt, warm)
+            f13_outs, f13_tok, f13_steps, f13_dt = timed_generate(
+                f13, all_prompts, gen)
+            f13_tps = f13_tok / f13_dt
+            f13_equal = sum(int(a == b)
+                            for a, b in zip(o13, f13_outs[:2]))
+            log(f"13B int4 fused-sam: {f13_tps:.1f} tok/s, accept "
+                f"{f13_tok / max(f13_steps, 1):.2f}, "
+                f"{1000 * f13_dt / max(f13_steps, 1):.2f} ms/step, "
+                f"equal {f13_equal}/2, "
+                f"speedup {f13_tps / a13_tps:.2f}x vs own AR")
+            detail.update({
+                "int4_13b_ar_tokens_per_s": round(a13_tps, 2),
+                "int4_13b_fused_sam_tokens_per_s": round(f13_tps, 2),
+                "int4_13b_fused_sam_mean_accept":
+                    round(f13_tok / max(f13_steps, 1), 3),
+                "int4_13b_fused_sam_ms_per_step":
+                    round(1000 * f13_dt / max(f13_steps, 1), 3),
+                "int4_13b_fused_sam_speedup_vs_own_ar":
+                    round(f13_tps / a13_tps, 4),
+                "int4_13b_fused_sam_overlap_trajectory_equal":
+                    f13_equal == 2,
+            })
+        finally:
+            params13 = ar13 = p13 = f13 = None
+            gc.collect()
+
+    # ------------------------------------------------------------------
     # 10. TTFT: prefill (96 -> bucket 128) + one decode step + host
     #     overheads; same compiled programs as the flagship row (budget=1
     #     exits the fused loop after one iteration)

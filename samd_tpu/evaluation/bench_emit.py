@@ -51,7 +51,8 @@ HEADLINE_KEYS = (
     "int8_batched_hybrid_peak_tokens_per_s",
     "paged_fused_batched_tokens_per_s",
     "paged_fused_batched_vs_dense_ratio",
-    "int8_7b_ar_tokens_per_s",
+    # int8_7b_ar moved to the detail file (r05 width budget; the
+    # speedup-vs-own-AR keys carry its story)
     "int8_7b_fused_sam_tokens_per_s",
     "int8_7b_fused_sam_ms_per_step",
     # round 5: the int4 7B row quantizes the SAME base weights as the int8
@@ -64,6 +65,7 @@ HEADLINE_KEYS = (
     "int4_7b_vs_int8_7b_step_time_ratio",
     "int4_7b_base_weights_match_int8_row",
     "int4_7b_paged_batched_tokens_per_s",
+    "int4_13b_fused_sam_tokens_per_s",
     "int4_batched_fused_sam_tokens_per_s",
     "fused_sam_token_recycle_tokens_per_s",
     "fused_sam_token_recycle_mean_accept",
