@@ -23,11 +23,45 @@ def make_retrieval_draft(*, S: int, corpus: jax.Array, corpus_len: jax.Array,
 
     ``corpus_index`` (an ops.ngram_index.NgramIndex) switches the corpus
     search from the O(corpus) windowed scan to an O(bucket) index probe —
-    required at reference corpus scale (millions of tokens)."""
+    required at reference corpus scale (millions of tokens).
+
+    NOTE: the returned closure CAPTURES the corpus/index arrays, which a
+    jitted caller inlines into its lowered module as dense literals — fine
+    for profiling scripts, fatal at 1M-token scale through the tunnel's
+    remote-compile body limit.  Engines use ``make_retrieval_partial``
+    instead and pass the Partial through their fused jit as an argument."""
+    fn = _retrieval_draft_argform(S=S, max_ngram=max_ngram, ext=ext,
+                                  len_bias=len_bias, block=block)
+
+    def draft(history, hist_len, start):
+        return fn(corpus, corpus_len, corpus_index, history, hist_len,
+                  start)
+
+    return draft
+
+
+def make_retrieval_partial(*, S: int, corpus: jax.Array,
+                           corpus_len: jax.Array, max_ngram: int, ext: int,
+                           len_bias: int, block: int, corpus_index=None):
+    """``jax.tree_util.Partial`` form of ``make_retrieval_draft``: the
+    corpus buffer + n-gram index bind as PYTREE children, so passing the
+    Partial through a jitted fused function traces them as runtime
+    ARGUMENTS instead of baking them into the lowered module (a
+    closure-captured 1M-token indexed corpus inlined ~132 MB of dense
+    literals and blew the tunnel's remote-compile request limit with
+    HTTP 413 — r05).  Call signature of the Partial is identical to the
+    closure form: ``retrieve(history, hist_len, start)``."""
+    fn = _retrieval_draft_argform(S=S, max_ngram=max_ngram, ext=ext,
+                                  len_bias=len_bias, block=block)
+    return jax.tree_util.Partial(fn, corpus, corpus_len, corpus_index)
+
+
+def _retrieval_draft_argform(*, S: int, max_ngram: int, ext: int,
+                             len_bias: int, block: int):
     Q = max_ngram
     M = block
 
-    def draft(history, hist_len, start):
+    def draft(corpus, corpus_len, corpus_index, history, hist_len, start):
         qidx = hist_len - (Q - 1) + jnp.arange(Q - 1)
         query = jnp.where(qidx >= 0, history[jnp.clip(qidx, 0, S - 1)], -1)
         query = jnp.concatenate([query, start[None]])

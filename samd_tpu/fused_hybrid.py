@@ -142,6 +142,15 @@ class FusedHybridEngine:
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
         self.corpus_index = build_optional_index(corpus, self.cfg)
+        # corpus/index ride the fused call as Partial args (no module
+        # inlining — fused_base.make_retrieval_partial)
+        from .fused_base import make_retrieval_partial
+
+        self._retrieve = make_retrieval_partial(
+            S=self.S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=self.cfg.max_ngram, ext=self.cfg.ext,
+            len_bias=self.cfg.len_bias, block=self.cfg.max_block,
+            corpus_index=self.corpus_index)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -197,14 +206,7 @@ class FusedHybridEngine:
             jnp.asarray(tr_parents),
             jnp.arange(N, M, dtype=jnp.int32)])
 
-        from .fused_base import make_retrieval_draft
-
-        retrieve = make_retrieval_draft(
-            S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
-            ext=hc.ext, len_bias=hc.len_bias, block=M,
-            corpus_index=self.corpus_index)
-
-        def retrieval_draft(history, hist_len, start):
+        def retrieval_draft(retrieve, history, hist_len, start):
             match, use_dyn, raw, cont_avail = retrieve(history, hist_len,
                                                        start)
             # fixed-length chain like the reference hybrid
@@ -222,7 +224,7 @@ class FusedHybridEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def fused(params, kv_k, kv_v, harvest, seen, history, hist_len,
-                  start_token, budget, eos_id, key):
+                  start_token, budget, eos_id, key, retrieve):
             def cond(st):
                 (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
                  done, steps, sam_steps, key) = st
@@ -233,6 +235,7 @@ class FusedHybridEngine:
                 (kv_k, kv_v, harvest, seen, history, hist_len, start, budget,
                  done, steps, sam_steps, key) = st
                 match, chain_tokens, chain_len = retrieval_draft(
+                    retrieve,
                     history, hist_len, start)
                 use_sam = match >= hc.len_threshold
                 tree_tokens = tr_draft(harvest, seen, start)
@@ -345,7 +348,7 @@ class FusedHybridEngine:
              start, budget, ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, self.harvest, self.seen,
                 history, hist_len, start, budget,
-                jnp.int32(self.eos_token_id), sub)
+                jnp.int32(self.eos_token_id), sub, self._retrieve)
             hl, steps, sam_steps, done_d = (int(x) for x in np.asarray(ctrl))
             decode_steps += steps
             self.sam_steps += sam_steps
@@ -422,6 +425,15 @@ class BatchedFusedHybridEngine(ProgressStreamMixin):
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
         self.corpus_index = build_optional_index(corpus, self.cfg)
+        # corpus/index ride the fused call as Partial args (no module
+        # inlining — fused_base.make_retrieval_partial)
+        from .fused_base import make_retrieval_partial
+
+        self._retrieve = make_retrieval_partial(
+            S=self.S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=self.cfg.max_ngram, ext=self.cfg.ext,
+            len_bias=self.cfg.len_bias, block=self.cfg.max_block,
+            corpus_index=self.corpus_index)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -531,7 +543,6 @@ class BatchedFusedHybridEngine(ProgressStreamMixin):
         return prefill
 
     def _build_fused(self, sig: Optional[tuple] = None):
-        from .fused_base import make_retrieval_draft
         from .verify import make_accept_fn
 
         sampling = sig is not None
@@ -549,14 +560,10 @@ class BatchedFusedHybridEngine(ProgressStreamMixin):
         tree_parents_packed = jnp.concatenate([
             jnp.asarray(tr_parents),
             jnp.arange(len(tr_parents), M, dtype=jnp.int32)])
-        retrieve = make_retrieval_draft(
-            S=S, corpus=self.corpus, corpus_len=self.corpus_len,
-            max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
-            block=M, corpus_index=self.corpus_index)
         tr_draft = make_tr_draft(tr_parents, self.tr_depths, tr_rank, M)
         inline = getattr(self, "inline_prefill", False)
 
-        def retrieval_draft(history, hist_len, start):
+        def retrieval_draft(retrieve, history, hist_len, start):
             match, use_dyn, raw, cont_avail = retrieve(history, hist_len,
                                                        start)
             avail = jnp.minimum(cont_avail, hc.n_predicts - 1)
@@ -571,7 +578,8 @@ class BatchedFusedHybridEngine(ProgressStreamMixin):
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
         def fused(params, kv_k, kv_v, harvests, seens, histories, hist_lens,
                   starts, budgets, actives, eos_id, keys, samp_flags,
-                  refill, prompt_lens, tables=None, alloc_limits=None):
+                  refill, prompt_lens, retrieve, tables=None,
+                  alloc_limits=None):
             if paged is None:
                 alloc_limits = S
                 paged_aux = None
@@ -592,8 +600,9 @@ class BatchedFusedHybridEngine(ProgressStreamMixin):
             def body(st):
                 (kv_k, kv_v, harvests, seens, histories, hist_lens, starts,
                  budgets, lives, steps, slot_steps, sam_steps, keys) = st
-                matches, chain_tokens = jax.vmap(retrieval_draft)(
-                    histories, hist_lens, starts)            # [B], [B, M]
+                matches, chain_tokens = jax.vmap(
+                    lambda h, l, s: retrieval_draft(retrieve, h, l, s)
+                )(histories, hist_lens, starts)              # [B], [B, M]
                 use_sam = matches >= hc.len_threshold        # [B]
                 tree_tokens = jax.vmap(tr_draft)(harvests, seens, starts)
                 draft_tokens = jnp.where(use_sam[:, None], chain_tokens,
@@ -856,7 +865,7 @@ class BatchedFusedHybridEngine(ProgressStreamMixin):
                 jnp.asarray(actives), jnp.int32(self.eos_token_id),
                 jnp.asarray(keys), jnp.asarray(samp_flags),
                 jnp.bool_(bool(self.queue)), jnp.asarray(prompt_lens),
-                *self._fused_extra_args())
+                self._retrieve, *self._fused_extra_args())
             self._set_device_state(state)
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
@@ -1076,6 +1085,15 @@ class FusedHybridEagleEngine:
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
         self.corpus_index = build_optional_index(corpus, self.cfg)
+        # corpus/index ride the fused call as Partial args (no module
+        # inlining — fused_base.make_retrieval_partial)
+        from .fused_base import make_retrieval_partial
+
+        self._retrieve = make_retrieval_partial(
+            S=self.S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=self.cfg.max_ngram, ext=self.cfg.ext,
+            len_bias=self.cfg.len_bias, block=self.cfg.max_block,
+            corpus_index=self.corpus_index)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self.sam_steps = 0        # last request's retrieval-draft steps
@@ -1116,7 +1134,6 @@ class FusedHybridEagleEngine:
         _sa = 4 if getattr(self.model_cfg, "kv_layout", "sd") == "ds" else 3
         from .drafters.eagle.net import eagle_forward
         from .eagle_fused import make_eagle_expand
-        from .fused_base import make_retrieval_draft
 
         cfg, ncfg, S = self.model_cfg, self.net_cfg, self.S
         hc = self.cfg
@@ -1124,10 +1141,6 @@ class FusedHybridEagleEngine:
         expand, TREE_SLOTS = make_eagle_expand(
             net_cfg=ncfg, S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
             total=hc.eagle_total, M=M)
-        retrieve = make_retrieval_draft(
-            S=S, corpus=self.corpus, corpus_len=self.corpus_len,
-            max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
-            block=M, corpus_index=self.corpus_index)
         chain_parents = jnp.concatenate([
             jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
             jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
@@ -1135,7 +1148,8 @@ class FusedHybridEagleEngine:
 
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, history,
-                  hist_len, start_token, last_hidden, budget, eos_id):
+                  hist_len, start_token, last_hidden, budget, eos_id,
+                  retrieve):
             # embed/head from the TRACED params: closure-captured weights
             # become HLO constants (7B exceeds the remote-compile size cap)
             embed = params["embed"]
@@ -1247,7 +1261,7 @@ class FusedHybridEagleEngine:
                 self._fused(self.params, self.net_params, self.kv_k,
                             self.kv_v, self.ekv_k, self.ekv_v, history,
                             hist_len, start, last_hidden, budget,
-                            jnp.int32(self.eos_token_id))
+                            jnp.int32(self.eos_token_id), self._retrieve)
             hl, steps, sam_steps, done_d = (int(x) for x in np.asarray(ctrl))
             decode_steps += steps
             self.sam_steps += sam_steps
@@ -1320,6 +1334,15 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
         self.corpus_index = build_optional_index(corpus, self.cfg)
+        # corpus/index ride the fused call as Partial args (no module
+        # inlining — fused_base.make_retrieval_partial)
+        from .fused_base import make_retrieval_partial
+
+        self._retrieve = make_retrieval_partial(
+            S=self.S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=self.cfg.max_ngram, ext=self.cfg.ext,
+            len_bias=self.cfg.len_bias, block=self.cfg.max_block,
+            corpus_index=self.corpus_index)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -1411,7 +1434,6 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         from .cache import compact_accepted_batched
         from .drafters.eagle.net import eagle_forward
         from .eagle_fused import make_eagle_expand
-        from .fused_base import make_retrieval_draft
         from .verify import make_accept_fn
 
         sampling = sig is not None
@@ -1422,16 +1444,12 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         expand, TREE_SLOTS = make_eagle_expand(
             net_cfg=ncfg, S=S, depth=hc.eagle_depth, topk=hc.eagle_topk,
             total=hc.eagle_total, M=M)
-        retrieve = make_retrieval_draft(
-            S=S, corpus=self.corpus, corpus_len=self.corpus_len,
-            max_ngram=hc.max_ngram, ext=hc.ext, len_bias=hc.len_bias,
-            block=M, corpus_index=self.corpus_index)
         chain_parents = jnp.concatenate([
             jnp.arange(-1, hc.n_predicts - 1, dtype=jnp.int32),
             jnp.arange(hc.n_predicts, M, dtype=jnp.int32)])
         tie = self.model_cfg.tie_embeddings
 
-        def retrieval_draft(history, hist_len, start):
+        def retrieval_draft(retrieve, history, hist_len, start):
             match, _, raw, cont_avail = retrieve(history, hist_len, start)
             avail = jnp.minimum(cont_avail, hc.n_predicts - 1)
             keep = jnp.arange(M - 1) < avail
@@ -1467,8 +1485,8 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
         @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6, 7))
         def fused(params, net_params, kv_k, kv_v, ekv_k, ekv_v, histories,
                   last_hiddens, hist_lens, starts, budgets, actives, eos_id,
-                  keys, samp_flags, refill, prompt_lens, tables=None,
-                  alloc_limits=None):
+                  keys, samp_flags, refill, prompt_lens, retrieve,
+                  tables=None, alloc_limits=None):
             if paged is None:
                 alloc_limits = S
                 paged_aux = None
@@ -1494,7 +1512,8 @@ class BatchedFusedHybridEagleEngine(BatchedFusedHybridEngine):
                 (kv_k, kv_v, ekv_k, ekv_v, histories, last_hiddens,
                  hist_lens, starts, budgets, lives, steps, slot_steps,
                  sam_steps, keys) = st
-                matches, chain_tokens = jax.vmap(retrieval_draft)(
+                matches, chain_tokens = jax.vmap(
+                    lambda h, l, s: retrieval_draft(retrieve, h, l, s))(
                     histories, hist_lens, starts)            # [B], [B, M]
                 use_sam = matches >= hc.len_threshold        # [B]
                 eagle_packed, ekv_k, ekv_v = jax.vmap(

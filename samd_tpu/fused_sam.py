@@ -251,6 +251,16 @@ class FusedSamEngine:
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
         self.corpus_index = build_optional_index(corpus, self.cfg)
+        # retrieval state rides the fused call as a Partial ARGUMENT — a
+        # closure-captured corpus/index would inline into the lowered
+        # module (fused_base.make_retrieval_partial)
+        from .fused_base import make_retrieval_partial
+
+        self._retrieve = make_retrieval_partial(
+            S=self.S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=self.cfg.max_ngram, ext=self.cfg.ext,
+            len_bias=self.cfg.len_bias, block=self.cfg.block,
+            corpus_index=self.corpus_index)
         self._prefill_fns: Dict[int, callable] = {}
         self._fused = self._build_fused()
         self._fused_sampling: Dict[tuple, callable] = {}
@@ -276,8 +286,6 @@ class FusedSamEngine:
 
     def _build_fused(self, sig: Optional[tuple] = None,
                      window: Optional[int] = None):
-        from .fused_base import make_retrieval_draft
-
         sampling = sig is not None
         accept = make_chain_accept_fn(sig) if sampling else None
 
@@ -288,18 +296,10 @@ class FusedSamEngine:
         W = S if window is None or window >= S else window
         fc = self.cfg
         M = fc.block
-        Q = fc.max_ngram
         tri = jnp.tril(jnp.ones((M, M), bool))
         chain_pos = jnp.arange(M, dtype=jnp.int32)
-        corpus = self.corpus
-        corpus_len = self.corpus_len
 
-        retrieve = make_retrieval_draft(
-            S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
-            ext=fc.ext, len_bias=fc.len_bias, block=M,
-            corpus_index=self.corpus_index)
-
-        def make_draft(history, hist_len, start):
+        def make_draft(retrieve, history, hist_len, start):
             match, use_dyn, tokens, cont_avail = retrieve(
                 history, hist_len, start)
             # adaptive draft length n = 1 + match * alpha (sam_only policy)
@@ -313,7 +313,7 @@ class FusedSamEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, history, hist_len, start_token,
-                  budget, eos_id, key):
+                  budget, eos_id, key, retrieve):
             def cond(st):
                 (kv_k, kv_v, history, hist_len, start, budget, done, steps,
                  dyn_steps, key) = st
@@ -324,7 +324,7 @@ class FusedSamEngine:
                 (kv_k, kv_v, history, hist_len, start, budget, done, steps,
                  dyn_steps, key) = st
                 draft_tokens, draft_len, use_dyn = make_draft(
-                    history, hist_len, start)
+                    retrieve, history, hist_len, start)
                 s = jnp.arange(W)[None, None, :]
                 mask = block_decode_mask(tri, hist_len, W)
                 in_block = (s >= hist_len) & (s < hist_len + M)
@@ -424,7 +424,7 @@ class FusedSamEngine:
             (self.kv_k, self.kv_v, history, hist_len, start, budget,
              ctrl) = fused(
                 self.params, self.kv_k, self.kv_v, history, hist_len, start,
-                budget, jnp.int32(self.eos_token_id), sub)
+                budget, jnp.int32(self.eos_token_id), sub, self._retrieve)
             hl, steps, dyn_steps, done_d = (int(x) for x in np.asarray(ctrl))
             decode_steps += steps
             self.stats_dyn += dyn_steps
@@ -483,6 +483,15 @@ class BatchedFusedSamEngine(ProgressStreamMixin):
         self.corpus, self.corpus_len = load_corpus_buffer(
             corpus, self.cfg.corpus_capacity)
         self.corpus_index = build_optional_index(corpus, self.cfg)
+        from .fused_base import make_retrieval_partial
+
+        # corpus/index ride the fused call as Partial args (no module
+        # inlining — fused_base.make_retrieval_partial)
+        self._retrieve = make_retrieval_partial(
+            S=self.S, corpus=self.corpus, corpus_len=self.corpus_len,
+            max_ngram=self.cfg.max_ngram, ext=self.cfg.ext,
+            len_bias=self.cfg.len_bias, block=self.cfg.block,
+            corpus_index=self.corpus_index)
 
         self.histories = jnp.zeros((batch_size, max_cache_len), jnp.int32)
         self._prefill_fns = {}
@@ -575,27 +584,17 @@ class BatchedFusedSamEngine(ProgressStreamMixin):
     _paged_cfg = None
 
     def _build_fused(self, sig: Optional[tuple] = None):
-        from .fused_base import make_retrieval_draft
-
         sampling = sig is not None
         accept = make_chain_accept_fn(sig) if sampling else None
         cfg, S, B = self.model_cfg, self.S, self.B
         fc = self.cfg
         M = fc.block
-        Q = fc.max_ngram
         tri = jnp.tril(jnp.ones((M, M), bool))
         chain_pos = jnp.arange(M, dtype=jnp.int32)
-        corpus = self.corpus
-        corpus_len = self.corpus_len
         paged = self._paged_cfg
         inline = getattr(self, "inline_prefill", False)
 
-        retrieve = make_retrieval_draft(
-            S=S, corpus=corpus, corpus_len=corpus_len, max_ngram=Q,
-            ext=fc.ext, len_bias=fc.len_bias, block=M,
-            corpus_index=self.corpus_index)
-
-        def make_draft(history, hist_len, start):
+        def make_draft(retrieve, history, hist_len, start):
             match, use_dyn, tokens, cont_avail = retrieve(
                 history, hist_len, start)
             n = jnp.minimum(fc.n_predicts + 1,
@@ -626,7 +625,7 @@ class BatchedFusedSamEngine(ProgressStreamMixin):
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def fused(params, kv_k, kv_v, histories, hist_lens, starts, budgets,
                   actives, eos_id, keys, samp_flags, refill, prompt_lens,
-                  tables=None, alloc_limits=None):
+                  retrieve, tables=None, alloc_limits=None):
             if paged is None:
                 alloc_limits = S
                 paged_aux = None
@@ -650,8 +649,9 @@ class BatchedFusedSamEngine(ProgressStreamMixin):
             def body(st):
                 (kv_k, kv_v, histories, hist_lens, starts, budgets, lives,
                  steps, slot_steps, keys) = st
-                drafts, dlens = jax.vmap(make_draft)(histories, hist_lens,
-                                                     starts)       # [B,M],[B]
+                drafts, dlens = jax.vmap(
+                    lambda h, l, s: make_draft(retrieve, h, l, s)
+                )(histories, hist_lens, starts)                 # [B,M],[B]
                 if inline:
                     # inline prefill: a slot whose committed length is
                     # still inside its prompt drafts the NEXT M prompt
@@ -843,7 +843,8 @@ class BatchedFusedSamEngine(ProgressStreamMixin):
                 jnp.asarray(budgets), jnp.asarray(actives),
                 jnp.int32(self.eos_token_id), jnp.asarray(keys),
                 jnp.asarray(samp_flags), jnp.bool_(bool(self.queue)),
-                jnp.asarray(prompt_lens), *self._fused_extra_args())
+                jnp.asarray(prompt_lens), self._retrieve,
+                *self._fused_extra_args())
             ctrl_np = np.asarray(ctrl)
             hist_lens = ctrl_np[0].copy()
             starts = ctrl_np[1].copy()

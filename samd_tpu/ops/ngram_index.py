@@ -61,9 +61,16 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class NgramIndex:
-    """Immutable device-resident index: one bucket table per gram size."""
+    """Immutable device-resident index: one bucket table per gram size.
+
+    Registered as a pytree so engines pass it INTO their jitted fused
+    functions as a traced argument: a closure-captured index is inlined
+    into the lowered module as dense literals — at reference corpus scale
+    (1M tokens -> 4x ~32 MB tables) that blew the tunnel's remote-compile
+    request body limit (HTTP 413, r05 dev run)."""
 
     grams: Tuple[int, ...]            # gram sizes, descending (e.g. 8, 4, 2, 1)
     bucket_cap: int
@@ -75,6 +82,17 @@ class NgramIndex:
     def num_candidates(self) -> int:
         per = self.bucket_cap * (2 if self.latest_tables else 1)
         return len(self.grams) * per
+
+    def tree_flatten(self):
+        return ((self.tables, self.latest_tables),
+                (self.grams, self.bucket_cap))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        tables, latest_tables = children
+        grams, bucket_cap = aux
+        return cls(grams=grams, bucket_cap=bucket_cap,
+                   tables=tuple(tables), latest_tables=tuple(latest_tables))
 
 
 def _hash_ngrams_np(tokens: np.ndarray, n: int) -> np.ndarray:

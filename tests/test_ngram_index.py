@@ -213,3 +213,46 @@ def test_engine_serves_1m_token_corpus():
     assert out.output_ids == traj.output_ids
     # the corpus must actually help: fewer verify steps than token count
     assert out.decode_steps < out.decode_tokens
+
+
+def test_retrieval_partial_does_not_inline_corpus_into_module():
+    """Engines pass corpus+index into their fused jits as Partial ARGS:
+    the closure form inlines them into the lowered module as dense
+    literals (a 1M-token indexed corpus inlined ~132 MB and blew the
+    tunnel's remote-compile body limit with HTTP 413 — r05).  Pin both
+    directions: the arg form lowers to a small module, the closure form
+    demonstrably does not."""
+    import jax
+    import jax.numpy as jnp
+
+    from samd_tpu.fused_base import (load_corpus_buffer,
+                                     make_retrieval_draft,
+                                     make_retrieval_partial)
+    from samd_tpu.ops.ngram_index import build_ngram_index
+
+    N = 1 << 17
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(3, 100, size=N).astype(np.int32)
+    corpus, clen = load_corpus_buffer(tokens.tolist(), N)
+    index = build_ngram_index(tokens, grams=(8, 4, 2), bucket_cap=4)
+    S = 64
+    kw = dict(S=S, corpus=corpus, corpus_len=clen, max_ngram=8, ext=8,
+              len_bias=0, block=8, corpus_index=index)
+    hist = jnp.zeros((S,), jnp.int32)
+    args = (hist, jnp.int32(4), jnp.int32(5))
+
+    partial = make_retrieval_partial(**kw)
+    arg_txt = jax.jit(lambda r, h, l, s: r(h, l, s)).lower(
+        partial, *args).as_text()
+    assert len(arg_txt) < 300_000, len(arg_txt)
+
+    closure = make_retrieval_draft(**kw)
+    closure_txt = jax.jit(closure).lower(*args).as_text()
+    assert len(closure_txt) > 2_000_000, len(closure_txt)
+
+    # and the two forms compute the same draft
+    a = [np.asarray(x) for x in closure(*args)]
+    b = [np.asarray(x) for x in jax.jit(
+        lambda r, h, l, s: r(h, l, s))(partial, *args)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

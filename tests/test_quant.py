@@ -435,3 +435,59 @@ def test_int4_requant_from_int8_init_same_base_weights():
                          prefill_buckets=(32,))
     assert eng.generate(prompt, gen).output_ids == \
         ar.generate(prompt, gen).output_ids
+
+
+def test_int4_qwen2_family_kernel_lossless():
+    """Packed int4 through the Pallas kernel on the Qwen2-family trunk
+    (qkv biases stay high-precision and add AFTER the kernel matmul):
+    fused engine == own int4 block-AR oracle."""
+    from dataclasses import replace
+
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.models import init_params
+    from samd_tpu.ops.quant import quantize_llama_params
+
+    cfg = replace(_kernel_cfg(int4_impl="kernel_interpret"),
+                  attn_bias=True, rope_theta=1e6)
+    params = init_params(cfg, jax.random.PRNGKey(2), scale=0.4)
+    q4 = quantize_llama_params(params, dtype=jnp.int4)
+    assert "bq" in q4["layers"] and not hasattr(q4["layers"]["bq"], "packed")
+    gen = GenerationConfig(max_new_tokens=14, max_cache_len=128)
+    prompt = np.random.default_rng(9).integers(3, 512, size=12).tolist()
+    ar = ArBaseline(cfg, q4, max_cache_len=128, eos_token_id=-1,
+                    prefill_buckets=(16,), block_size=8)
+    eng = FusedSamEngine(cfg, q4,
+                         FusedSamConfig(n_predicts=7, corpus_capacity=256),
+                         max_cache_len=128, eos_token_id=-1,
+                         prefill_buckets=(16,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
+
+
+def test_int4_moe_family_lossless():
+    """Packed int4 on the Mixtral-family trunk: expert stacks [L, E, in,
+    out] quantize to Int4Tensor and dequantize through the XLA halves
+    unpack inside the expert einsums (the kernel serves only 2D
+    contractions — models/llama.py dispatch note); router stays
+    high-precision.  Fused engine == own int4 block-AR oracle."""
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.models import init_params, tiny_moe_config
+    from samd_tpu.ops.quant import Int4Tensor, quantize_llama_params
+
+    cfg = tiny_moe_config(vocab_size=128)
+    params = init_params(cfg, jax.random.PRNGKey(3), scale=0.4)
+    q4 = quantize_llama_params(params, dtype=jnp.int4)
+    wg = q4["layers"]["w_gate"]
+    assert isinstance(wg, Int4Tensor)
+    assert wg.packed.ndim == 4 and not hasattr(q4["layers"]["router"],
+                                               "packed")
+    gen = GenerationConfig(max_new_tokens=14, max_cache_len=256)
+    prompt = np.random.default_rng(10).integers(3, 128, size=14).tolist()
+    ar = ArBaseline(cfg, q4, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=8)
+    eng = FusedSamEngine(cfg, q4,
+                         FusedSamConfig(n_predicts=7, corpus_capacity=256),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
