@@ -669,8 +669,11 @@ def main():
     #     (Vicuna-13B, served there on a 48 GB A6000 —
     #     /root/reference/README.md) on ONE 16 GB chip.  bf16 (26 GB) and
     #     int8 (13 GB) cannot fit next to anything; packed int4 (~6.6 GB)
-    #     can — the capability row int4 exists for.  Random int4 init
-    #     (no 13B int8 row exists to share base weights with), 7B-style
+    #     can — the capability row int4 exists for.  Weights requantized
+    #     from the int8-style random base (int4_requant_from_int8_init:
+    #     a FRESH uniform-nibble int4 init is degenerate-leaning and its
+    #     repetitive outputs inflate retrieval accept to ~13 — measured,
+    #     the same artifact the r04 verdict flagged at 7B), 7B-style
     #     cache buckets (13B KV is 820 KB/token across 40 layers), own
     #     int4 AR denominator + own-trajectory corpus.
     # ------------------------------------------------------------------
@@ -679,7 +682,7 @@ def main():
         from dataclasses import replace as _dcr
 
         from samd_tpu.models import llama_13b
-        from samd_tpu.ops.quant import init_quantized_llama_params as _iq
+        from samd_tpu.ops.quant import int4_requant_from_int8_init as _rq13
 
         params13 = ar13 = p13 = f13 = None
         try:
@@ -693,7 +696,7 @@ def main():
                 log(f"SKIP 13B int4: only {free/1e9:.1f} GB free")
                 return
             cfg13 = _dcr(llama_13b(), int4_impl="kernel")
-            params13 = _iq(cfg13, jax.random.PRNGKey(0), dtype=jnp.int4)
+            params13, _ = _rq13(cfg13, jax.random.PRNGKey(0))
             ar13 = ArBaseline(cfg13, params13, max_cache_len=MAX_CACHE,
                               eos_token_id=-1, prefill_buckets=(128,))
             log("13B int4 AR warmup/compile...")
