@@ -696,7 +696,10 @@ def main():
                 log(f"SKIP 13B int4: only {free/1e9:.1f} GB free")
                 return
             cfg13 = _dcr(llama_13b(), int4_impl="kernel")
-            params13, _ = _rq13(cfg13, jax.random.PRNGKey(0))
+            # layer_chunk: a full-tensor randint materializes a u32 bits
+            # tensor (11.3 GB for 13B w_gate) — chunked draws bound the
+            # transient; no 13B int8 row exists to bitwise-match anyway
+            params13, _ = _rq13(cfg13, jax.random.PRNGKey(0), layer_chunk=4)
             ar13 = ArBaseline(cfg13, params13, max_cache_len=MAX_CACHE,
                               eos_token_id=-1, prefill_buckets=(128,))
             log("13B int4 AR warmup/compile...")

@@ -293,7 +293,8 @@ def _init_int4_llama_params(cfg, key, *, scale: float = 0.02) -> dict:
     return params
 
 
-def int4_requant_from_int8_init(cfg, key, *, scale: float = 0.02) -> dict:
+def int4_requant_from_int8_init(cfg, key, *, scale: float = 0.02,
+                                layer_chunk: int = 0) -> dict:
     """Packed-int4 params quantized from the SAME base weights as
     ``_init_quantized_llama_params(cfg, key, scale)`` — the apples-to-apples
     7B int4-vs-int8 bench path (VERDICT r4 #4: the previous int4 7B row was
@@ -314,7 +315,15 @@ def int4_requant_from_int8_init(cfg, key, *, scale: float = 0.02) -> dict:
     Returns ``(params, base_checks)``: ``base_checks[name]`` is a tiny
     ``q[..0, :2, :64]`` slice of the regenerated int8 base; comparing it
     against the int8 row's device tree proves both rows share base weights
-    (bench.py does)."""
+    (bench.py does).
+
+    ``layer_chunk > 0`` draws the int8 base in leading-axis chunks of that
+    many layers (per-chunk ``fold_in`` keys): ``jax.random.randint``
+    materializes a u32 bits tensor the full size of the draw — 11.3 GB for
+    the 13B w_gate, an HBM OOM next to anything (r05).  Chunked draws are
+    the SAME distribution but NOT bitwise the int8 init, so use it only
+    where no int8 row exists to compare against (the 13B single-chip
+    row)."""
     import numpy as np
 
     L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
@@ -341,12 +350,29 @@ def int4_requant_from_int8_init(cfg, key, *, scale: float = 0.02) -> dict:
         return jax.lax.map(one, q8)
 
     def requant(k, shape):
-        q8 = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
         lead = shape[:-2]
-        q8v = q8.reshape((-1,) + shape[-2:])
-        packed, scale4 = _requant_stack(q8v)
-        check = np.asarray(q8v[0, :2, :64])
-        del q8, q8v
+        if layer_chunk and lead:
+            L_axis = int(np.prod(lead))
+            packs, scales, check = [], [], None
+            for lo in range(0, L_axis, layer_chunk):
+                hi = min(lo + layer_chunk, L_axis)
+                q8 = jax.random.randint(
+                    jax.random.fold_in(k, lo),
+                    (hi - lo,) + shape[-2:], -127, 128, dtype=jnp.int8)
+                pk, sc = _requant_stack(q8)
+                if check is None:
+                    check = np.asarray(q8[0, :2, :64])
+                del q8
+                packs.append(pk)
+                scales.append(sc)
+            packed = jnp.concatenate(packs, axis=0)
+            scale4 = jnp.concatenate(scales, axis=0)
+        else:
+            q8 = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+            q8v = q8.reshape((-1,) + shape[-2:])
+            packed, scale4 = _requant_stack(q8v)
+            check = np.asarray(q8v[0, :2, :64])
+            del q8, q8v
         return Int4Tensor(
             packed=packed.reshape(lead + (shape[-2], shape[-1] // 2)),
             scale=scale4.reshape(lead + (shape[-1],))), check

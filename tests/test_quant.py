@@ -491,3 +491,30 @@ def test_int4_moe_family_lossless():
                          prefill_buckets=(32,))
     assert eng.generate(prompt, gen).output_ids == \
         ar.generate(prompt, gen).output_ids
+
+
+def test_int4_requant_layer_chunked_matches_format():
+    """layer_chunk draws bound the randint transient (13B path); chunked
+    trees serve the engine losslessly and keep the packed format (the
+    draws differ from the unchunked base by design — same distribution)."""
+    from samd_tpu.fused_sam import FusedSamConfig, FusedSamEngine
+    from samd_tpu.ops.quant import (Int4Tensor,
+                                    int4_requant_from_int8_init)
+
+    cfg = tiny_config(vocab_size=128)
+    p4, checks = int4_requant_from_int8_init(cfg, jax.random.PRNGKey(1),
+                                             scale=0.4, layer_chunk=1)
+    wq = p4["layers"]["wq"]
+    assert isinstance(wq, Int4Tensor)
+    assert wq.packed.shape == (cfg.num_layers, cfg.hidden_size,
+                               cfg.num_heads * cfg.head_dim // 2)
+    assert checks["wq"].shape[0] == 2
+    gen = GenerationConfig(max_new_tokens=12, max_cache_len=256)
+    prompt = np.random.default_rng(6).integers(3, 128, size=14).tolist()
+    ar = ArBaseline(cfg, p4, max_cache_len=256, eos_token_id=-1,
+                    prefill_buckets=(32,), block_size=8)
+    eng = FusedSamEngine(cfg, p4, FusedSamConfig(n_predicts=7),
+                         max_cache_len=256, eos_token_id=-1,
+                         prefill_buckets=(32,))
+    assert eng.generate(prompt, gen).output_ids == \
+        ar.generate(prompt, gen).output_ids
